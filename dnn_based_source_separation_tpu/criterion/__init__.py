@@ -1,0 +1,28 @@
+"""L2: loss/criterion library.
+
+Capability parity with reference `src/criterion/` (sdr.py, pit.py,
+combination.py, deep_clustering.py, distance.py, divergence.py, entropy.py).
+All criteria are pure-JAX callables exposing the same protocol the reference
+drivers rely on: `criterion(input, target, batch_mean=True)` plus a
+`maximize` attribute consumed by PIT.
+"""
+
+from .sdr import (
+    EPS,
+    sdr,
+    sisdr,
+    weighted_sdr,
+    SDR,
+    NegSDR,
+    SISDR,
+    NegSISDR,
+    ClippedSISDR,
+    WeightedSDR,
+    NegWeightedSDR,
+)
+from .pit import pit, sinkpit, orpit, PIT, PIT1d, PIT2d, ORPIT, SinkPIT
+from .combination import CombinationLoss
+from .deep_clustering import AffinityLoss
+from .distance import L1Loss, L2Loss, MSELoss, MAELoss, CosineSimilarityLoss
+from .divergence import kl_divergence, is_divergence, generalized_kl_divergence, beta_divergence
+from .entropy import BinaryCrossEntropy, CategoricalCrossEntropy

@@ -1,0 +1,6 @@
+"""L0/L1: pure-function DSP and NN primitives (TPU-first, static shapes)."""
+
+from .windows import build_window, build_optimal_window
+from .stft import stft, istft
+from .segment import segment, overlap_add
+from .norms import global_layer_norm, cumulative_layer_norm

@@ -1,0 +1,120 @@
+"""Unit tests for the loss layer: SDR family, PIT/ORPIT/SinkPIT, combo, DC."""
+import itertools
+
+import numpy as np
+import jax.numpy as jnp
+
+from dnn_based_source_separation_tpu.criterion import (
+    sisdr,
+    sdr,
+    SISDR,
+    NegSISDR,
+    PIT1d,
+    ORPIT,
+    SinkPIT,
+    CombinationLoss,
+    AffinityLoss,
+    MSELoss,
+)
+from dnn_based_source_separation_tpu.criterion.pit import pit, orpit, sinkpit
+
+
+def test_sisdr_scale_invariance():
+    rng = np.random.default_rng(0)
+    s = rng.standard_normal((2, 1000)).astype(np.float32)
+    est = s + 0.1 * rng.standard_normal((2, 1000)).astype(np.float32)
+    a = np.asarray(sisdr(jnp.asarray(est), jnp.asarray(s)))
+    b = np.asarray(sisdr(jnp.asarray(est), jnp.asarray(5.0 * s)))
+    np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_sdr_perfect_reconstruction_is_large():
+    rng = np.random.default_rng(1)
+    s = rng.standard_normal((2, 1000)).astype(np.float32)
+    val = np.asarray(sdr(jnp.asarray(s), jnp.asarray(s)))
+    assert np.all(val > 100.0)
+
+
+def test_pit_matches_bruteforce():
+    rng = np.random.default_rng(2)
+    B, n, T = 4, 3, 500
+    est = rng.standard_normal((B, n, T)).astype(np.float32)
+    tgt = rng.standard_normal((B, n, T)).astype(np.float32)
+    crit = NegSISDR()
+    loss, pattern = pit(crit, jnp.asarray(est), jnp.asarray(tgt), batch_mean=False)
+    loss = np.asarray(loss)
+
+    # Brute force in numpy
+    for b in range(B):
+        best = np.inf
+        for perm in itertools.permutations(range(n)):
+            val = -np.mean(np.asarray(sisdr(jnp.asarray(est[b]), jnp.asarray(tgt[b, list(perm)]))))
+            best = min(best, val)
+        np.testing.assert_allclose(loss[b], best, rtol=1e-5)
+
+
+def test_pit_picks_correct_permutation():
+    rng = np.random.default_rng(3)
+    B, n, T = 2, 2, 400
+    src = rng.standard_normal((B, n, T)).astype(np.float32)
+    est = src[:, ::-1].copy()  # swapped estimates
+    pit_criterion = PIT1d(NegSISDR(), n_sources=n)
+    loss, pattern = pit_criterion(jnp.asarray(est), jnp.asarray(src))
+    assert float(loss) < -100.0  # perfect after permutation
+    np.testing.assert_array_equal(np.asarray(pattern), np.array([[1, 0], [1, 0]]))
+
+
+def test_orpit_selects_the_one():
+    rng = np.random.default_rng(4)
+    B, n_max, T = 3, 4, 300
+    tgt = rng.standard_normal((B, n_max, T)).astype(np.float32)
+    counts = np.array([2, 3, 4], dtype=np.int32)
+    for b, c in enumerate(counts):
+        tgt[b, c:] = 0.0
+    # Estimates: "one" = source 1, "rest" = sum of the others (per count).
+    one = tgt[:, 1]
+    rest = np.stack([tgt[b, :c].sum(0) - tgt[b, 1] for b, c in enumerate(counts)])
+    est = np.stack([one, rest], axis=1)
+    loss, idx = orpit(NegSISDR(), jnp.asarray(est), jnp.asarray(tgt), n_sources=counts, batch_mean=False)
+    np.testing.assert_array_equal(np.asarray(idx), np.ones(B))
+    assert np.all(np.asarray(loss) < -100.0)
+
+
+def test_sinkpit_approaches_pit_at_high_coldness():
+    rng = np.random.default_rng(5)
+    B, n, T = 2, 3, 256
+    est = rng.standard_normal((B, n, T)).astype(np.float32)
+    tgt = rng.standard_normal((B, n, T)).astype(np.float32)
+    crit = NegSISDR()
+    hard, _ = pit(crit, jnp.asarray(est), jnp.asarray(tgt))
+    soft, P = sinkpit(crit, jnp.asarray(est), jnp.asarray(tgt), coldness=100.0, iteration=50)
+    # Reference sinkpit SUMS over the n x n assignment (pit.py:185) while the
+    # criterion's 'mean' reduction averages over sources -> soft ~= n * hard.
+    np.testing.assert_allclose(float(soft) / n, float(hard), rtol=1e-2, atol=0.05)
+    # Soft permutation should be (nearly) a permutation matrix.
+    P = np.asarray(P)
+    np.testing.assert_allclose(P.sum(axis=1), 1.0, atol=0.05)
+    np.testing.assert_allclose(P.sum(axis=2), 1.0, atol=0.05)
+
+
+def test_combination_loss_subsets():
+    rng = np.random.default_rng(6)
+    B, n, T = 2, 3, 128
+    x = rng.standard_normal((B, n, T)).astype(np.float32)
+    combo = CombinationLoss(MSELoss(), min_pair=1, max_pair=2)
+    # identical input/target -> zero loss over every subset
+    loss = combo(jnp.asarray(x), jnp.asarray(x))
+    np.testing.assert_allclose(float(loss), 0.0, atol=1e-7)
+
+
+def test_affinity_loss_zero_for_identical_partition():
+    B, n_samples, C = 2, 40, 3
+    rng = np.random.default_rng(7)
+    labels = rng.integers(0, C, size=(B, n_samples))
+    Y = np.eye(C, dtype=np.float32)[labels]
+    loss = AffinityLoss()(jnp.asarray(Y), jnp.asarray(Y))
+    np.testing.assert_allclose(float(loss), 0.0, atol=1e-4)
+
+    V = rng.standard_normal((B, n_samples, 5)).astype(np.float32)
+    loss2 = AffinityLoss()(jnp.asarray(V), jnp.asarray(Y))
+    assert float(loss2) > 0.0

@@ -1,0 +1,88 @@
+"""Model base utilities: config-in-checkpoint contract + registry.
+
+Mirrors the reference contract where every model exposes `get_config()`,
+`build_model(path)` reconstructing the exact architecture from the
+checkpoint file alone, and `num_parameters` (e.g. reference
+`src/models/conv_tasnet.py:199-320`). Checkpoints are a single msgpack blob
+{model_class, config, params, extra} written with flax.serialization.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MODEL_REGISTRY: Dict[str, type] = {}
+
+
+def register_model(cls):
+    """Class decorator: make a model reconstructible by name from checkpoints."""
+    _MODEL_REGISTRY[cls.__name__] = cls
+    return cls
+
+
+def get_model_class(name: str) -> type:
+    return _MODEL_REGISTRY[name]
+
+
+class SeparationModelMixin:
+    """get_config/save/build_model/num_parameters for flax dataclass models."""
+
+    def get_config(self) -> Dict[str, Any]:
+        cfg = {}
+        for f in dataclasses.fields(self):
+            if f.name in ("parent", "name"):
+                continue
+            cfg[f.name] = getattr(self, f.name)
+        return cfg
+
+    # reference parity alias (src/models/conv_tasnet.py:312)
+    def get_package(self) -> Dict[str, Any]:
+        return self.get_config()
+
+    def save_model(self, path: str, params, extra: Dict[str, Any] | None = None):
+        save_model(path, self, params, extra)
+
+    @classmethod
+    def build_model(cls, model_path: str):
+        """Rebuild (model, params) from a checkpoint written by save_model."""
+        model, params, _ = load_model(model_path)
+        if not isinstance(model, cls) and cls is not SeparationModelMixin:
+            raise TypeError(f"checkpoint holds {type(model).__name__}, expected {cls.__name__}")
+        return model, params
+
+    @staticmethod
+    def num_parameters(params) -> int:
+        return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+def _to_numpy_tree(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_model(path: str, model, params, extra: Dict[str, Any] | None = None):
+    blob = {
+        "model_class": type(model).__name__,
+        "config": model.get_config(),
+        "params": flax.serialization.to_state_dict(_to_numpy_tree(params)),
+        "extra": extra or {},
+    }
+    data = flax.serialization.msgpack_serialize(blob)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def load_model(path: str) -> Tuple[Any, Any, Dict[str, Any]]:
+    with open(path, "rb") as f:
+        blob = flax.serialization.msgpack_restore(f.read())
+    cls = get_model_class(blob["model_class"])
+    config = blob["config"]
+    model = cls(**config)
+    params = jax.tree_util.tree_map(jnp.asarray, blob["params"])
+    return model, params, blob.get("extra", {})

@@ -1,0 +1,223 @@
+"""Time-dilated convolutional network (Conv-TasNet separator backbone).
+
+Capability parity: reference `src/models/tdcn.py:13-220`
+(TimeDilatedConvNet, TimeDilatedConvBlock1d, ResidualBlock1d,
+DepthwiseSeparableConv1d): R blocks x X layers of dilated
+depthwise-separable residual units with dual residual/skip heads.
+
+TPU-first: channels-last (B, T, C); 1x1 convs are Dense (pure MXU matmuls);
+the depthwise conv is `nn.Conv(feature_group_count=C)` which XLA lowers to a
+VPU-friendly strided elementwise contraction and fuses with the surrounding
+pointwise ops. Dilations are static so the whole R*X stack unrolls into one
+fused XLA program.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.norms import choose_layer_norm
+from .modules import PReLU
+
+EPS = 1e-12
+
+
+class DepthwiseSeparableConv1d(nn.Module):
+    """depthwise (dilated) -> [prelu] -> [norm] -> pointwise out/skip heads.
+
+    Reference `src/models/tdcn.py:149-202`. Input is already padded.
+    """
+
+    in_channels: int
+    out_channels: int
+    skip_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+    causal: bool = True
+    nonlinear: Optional[str] = None
+    norm: bool = True
+    dual_head: bool = True
+    eps: float = EPS
+
+    @nn.compact
+    def __call__(self, x):
+        C = self.in_channels
+        x = nn.Conv(
+            features=C,
+            kernel_size=(self.kernel_size,),
+            strides=(self.stride,),
+            kernel_dilation=(self.dilation,),
+            feature_group_count=C,
+            padding="VALID",
+            name="depthwise_conv1d",
+        )(x)
+        if self.nonlinear == "prelu":
+            x = PReLU(name="nonlinear1d")(x)
+        elif self.nonlinear is not None:
+            raise ValueError(f"Unsupported nonlinearity: {self.nonlinear}")
+        if self.norm:
+            norm_name = "cLN" if self.causal else "gLN"
+            x = choose_layer_norm(norm_name, C, causal=self.causal, eps=self.eps)(x)
+        output = None
+        if self.dual_head:
+            output = nn.Dense(self.out_channels, name="output_pointwise_conv1d")(x)
+        skip = nn.Dense(self.skip_channels, name="skip_pointwise_conv1d")(x)
+        return output, skip
+
+
+class ResidualBlock1d(nn.Module):
+    """1x1 bottleneck -> [prelu][norm] -> pad -> (separable) conv -> heads.
+
+    Reference `src/models/tdcn.py:77-147`.
+    """
+
+    num_features: int
+    hidden_channels: int = 256
+    skip_channels: int = 256
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+    separable: bool = False
+    causal: bool = True
+    nonlinear: Optional[str] = None
+    norm: bool = True
+    dual_head: bool = True
+    eps: float = EPS
+
+    @nn.compact
+    def __call__(self, x):
+        T = x.shape[-2]
+        residual = x
+        h = nn.Dense(self.hidden_channels, name="bottleneck_conv1d")(x)
+        if self.nonlinear == "prelu":
+            h = PReLU(name="nonlinear1d")(h)
+        elif self.nonlinear is not None:
+            raise ValueError(f"Unsupported nonlinearity: {self.nonlinear}")
+        if self.norm:
+            norm_name = "cLN" if self.causal else "gLN"
+            h = choose_layer_norm(norm_name, self.hidden_channels, causal=self.causal, eps=self.eps)(h)
+
+        padding = (T - 1) * self.stride - T + (self.kernel_size - 1) * self.dilation + 1
+        if self.causal:
+            pl, pr = padding, 0
+        else:
+            pl, pr = padding // 2, padding - padding // 2
+        h = jnp.pad(h, ((0, 0), (pl, pr), (0, 0)))
+
+        if self.separable:
+            output, skip = DepthwiseSeparableConv1d(
+                in_channels=self.hidden_channels,
+                out_channels=self.num_features,
+                skip_channels=self.skip_channels,
+                kernel_size=self.kernel_size,
+                stride=self.stride,
+                dilation=self.dilation,
+                causal=self.causal,
+                nonlinear=self.nonlinear,
+                norm=self.norm,
+                dual_head=self.dual_head,
+                eps=self.eps,
+                name="separable_conv1d",
+            )(h)
+        else:
+            output = None
+            if self.dual_head:
+                output = nn.Conv(
+                    self.num_features, (self.kernel_size,), strides=(self.stride,),
+                    kernel_dilation=(self.dilation,), padding="VALID", name="output_conv1d",
+                )(h)
+            skip = nn.Conv(
+                self.skip_channels, (self.kernel_size,), strides=(self.stride,),
+                kernel_dilation=(self.dilation,), padding="VALID", name="skip_conv1d",
+            )(h)
+
+        if output is not None:
+            output = output + residual
+        return output, skip
+
+
+class TimeDilatedConvBlock1d(nn.Module):
+    """X layers with dilation 2^i and summed skip head (reference :43-76)."""
+
+    num_features: int
+    hidden_channels: int = 256
+    skip_channels: int = 256
+    kernel_size: int = 3
+    num_layers: int = 10
+    dilated: bool = True
+    separable: bool = False
+    causal: bool = True
+    nonlinear: Optional[str] = None
+    norm: bool = True
+    dual_head: bool = True
+    eps: float = EPS
+
+    @nn.compact
+    def __call__(self, x):
+        skip_connection = 0.0
+        for idx in range(self.num_layers):
+            dilation = 2**idx if self.dilated else 1
+            stride = 1 if self.dilated else 2
+            last = (not self.dual_head) and idx == self.num_layers - 1
+            x_out, skip = ResidualBlock1d(
+                num_features=self.num_features,
+                hidden_channels=self.hidden_channels,
+                skip_channels=self.skip_channels,
+                kernel_size=self.kernel_size,
+                stride=stride,
+                dilation=dilation,
+                separable=self.separable,
+                causal=self.causal,
+                nonlinear=self.nonlinear,
+                norm=self.norm,
+                dual_head=not last,
+                eps=self.eps,
+                name=f"layer{idx}",
+            )(x)
+            skip_connection = skip_connection + skip
+            if x_out is not None:
+                x = x_out
+        return x, skip_connection
+
+
+class TimeDilatedConvNet(nn.Module):
+    """R blocks of X dilated layers; output = sum of skips (reference :13-41)."""
+
+    num_features: int
+    hidden_channels: int = 256
+    skip_channels: int = 256
+    kernel_size: int = 3
+    num_blocks: int = 3
+    num_layers: int = 10
+    dilated: bool = True
+    separable: bool = False
+    causal: bool = True
+    nonlinear: Optional[str] = None
+    norm: bool = True
+    eps: float = EPS
+
+    @nn.compact
+    def __call__(self, x):
+        skip_connection = 0.0
+        for idx in range(self.num_blocks):
+            dual_head = idx != self.num_blocks - 1
+            x, skip = TimeDilatedConvBlock1d(
+                num_features=self.num_features,
+                hidden_channels=self.hidden_channels,
+                skip_channels=self.skip_channels,
+                kernel_size=self.kernel_size,
+                num_layers=self.num_layers,
+                dilated=self.dilated,
+                separable=self.separable,
+                causal=self.causal,
+                nonlinear=self.nonlinear,
+                norm=self.norm,
+                dual_head=dual_head,
+                eps=self.eps,
+                name=f"block{idx}",
+            )(x)
+            skip_connection = skip_connection + skip
+        return skip_connection

@@ -1,0 +1,227 @@
+"""Epoch-loop Trainer with LR-halving, early stop, best/last checkpoints.
+
+Capability parity: reference `egs/wsj0-mix/common/src/driver.py:20-226` and
+the per-recipe AdhocTrainer (`egs/wsj0-mix/conv-tasnet/src/adhoc_driver.py`):
+  * valid-loss improvement -> save best.ckpt, reset counter;
+  * valid_loss >= prev_loss -> no_improvement += 1;
+      >= 3 consecutive -> halve LR; >= 10 -> stop training;
+  * last.ckpt every epoch; loss.png per epoch; first-5 validation WAV dumps;
+  * --continue_from resume restoring optimizer state, counters, history.
+
+The hot loop is one compiled XLA program (steps.make_train_step) with the
+batch sharded over the mesh 'data' axis.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.base import load_model, save_model
+from ..parallel.mesh import shard_batch
+from .steps import (
+    get_learning_rate,
+    make_eval_step,
+    make_train_step,
+    set_learning_rate,
+)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    epochs: int = 100
+    exp_dir: str = "exp"
+    continue_from: Optional[str] = None
+    overwrite: bool = False
+    lr_halving_patience: int = 3
+    early_stop_patience: int = 10
+    save_valid_wavs: int = 5
+    sample_rate: int = 8000
+    log_interval: int = 100
+
+
+class Trainer:
+    """Drives epoch training of any registered separation model."""
+
+    def __init__(
+        self,
+        model,
+        train_loader,
+        valid_loader,
+        criterion: Callable,
+        optimizer,
+        config: TrainerConfig,
+        mesh=None,
+        init_params=None,
+        eval_criterion: Callable | None = None,
+    ):
+        self.model = model
+        self.train_loader = train_loader
+        self.valid_loader = valid_loader
+        self.criterion = criterion
+        self.optimizer = optimizer
+        self.config = config
+        self.mesh = mesh
+
+        self.model_dir = os.path.join(config.exp_dir, "model")
+        self.loss_dir = os.path.join(config.exp_dir, "loss")
+        self.sample_dir = os.path.join(config.exp_dir, "sample")
+        for d in (self.model_dir, self.loss_dir, self.sample_dir):
+            os.makedirs(d, exist_ok=True)
+
+        self.train_step = make_train_step(model, criterion, optimizer, mesh=mesh)
+        self.eval_step = make_eval_step(model, eval_criterion or criterion, mesh=mesh)
+
+        if config.continue_from:
+            _, self.params, extra = load_model(config.continue_from)
+            opt_template = optimizer.init(self.params)
+            self.opt_state = flax.serialization.from_state_dict(opt_template, extra["optim"])
+            self.start_epoch = int(extra["epoch"]) + 1
+            self.best_loss = float(extra["best_loss"])
+            self.prev_loss = float(extra["prev_loss"])
+            self.no_improvement = int(extra["no_improvement"])
+            self.train_loss = list(extra["train_loss"])
+            self.valid_loss = list(extra["valid_loss"])
+        else:
+            best = os.path.join(self.model_dir, "best.ckpt")
+            if os.path.exists(best) and not config.overwrite:
+                raise ValueError(f"{best} already exists; set overwrite=True to continue.")
+            if init_params is None:
+                example = next(iter(train_loader))
+                init_params = model.init(jax.random.PRNGKey(0), jnp.asarray(example[0][:1]))
+            self.params = init_params
+            self.opt_state = optimizer.init(self.params)
+            self.start_epoch = 0
+            self.best_loss = float("inf")
+            self.prev_loss = float("inf")
+            self.no_improvement = 0
+            self.train_loss = []
+            self.valid_loss = []
+
+    # -- epoch loop -------------------------------------------------------
+    def run(self):
+        cfg = self.config
+        for epoch in range(self.start_epoch, cfg.epochs):
+            start = time.time()
+            train_loss = self.run_one_epoch_train(epoch)
+            valid_loss = self.run_one_epoch_eval(epoch)
+            end = time.time()
+            print(
+                f"[Epoch {epoch + 1}/{cfg.epochs}] loss (train): {train_loss:.5f}, "
+                f"loss (valid): {valid_loss:.5f}, {end - start:.3f} [sec]",
+                flush=True,
+            )
+            self.train_loss.append(train_loss)
+            self.valid_loss.append(valid_loss)
+
+            stop = False
+            if valid_loss < self.best_loss:
+                self.best_loss = valid_loss
+                self.no_improvement = 0
+                self.save_checkpoint(epoch, os.path.join(self.model_dir, "best.ckpt"))
+            elif valid_loss >= self.prev_loss:
+                self.no_improvement += 1
+                if self.no_improvement >= cfg.early_stop_patience:
+                    print("Stop training")
+                    stop = True
+                elif self.no_improvement >= cfg.lr_halving_patience:
+                    prev_lr = get_learning_rate(self.opt_state)
+                    lr = 0.5 * prev_lr
+                    print(f"Learning rate: {prev_lr} -> {lr}")
+                    self.opt_state = set_learning_rate(self.opt_state, lr)
+            else:
+                self.no_improvement = 0
+
+            self.prev_loss = valid_loss
+            self.save_checkpoint(epoch, os.path.join(self.model_dir, "last.ckpt"))
+            self.draw_loss_curve()
+            if stop:
+                break
+
+    def run_one_epoch_train(self, epoch: int) -> float:
+        cfg = self.config
+        total, n_batches = 0.0, 0
+        for idx, (mixture, sources) in enumerate(self.train_loader):
+            batch = (jnp.asarray(mixture), jnp.asarray(sources))
+            if self.mesh is not None:
+                batch = shard_batch(self.mesh, batch)
+            self.params, self.opt_state, loss = self.train_step(
+                self.params, self.opt_state, *batch
+            )
+            total += float(loss)
+            n_batches += 1
+            if (idx + 1) % cfg.log_interval == 0:
+                print(
+                    f"[Epoch {epoch + 1}] iter {idx + 1}/{len(self.train_loader)} "
+                    f"loss: {total / n_batches:.5f}",
+                    flush=True,
+                )
+        return total / max(n_batches, 1)
+
+    def run_one_epoch_eval(self, epoch: int) -> float:
+        cfg = self.config
+        total, n_batches = 0.0, 0
+        for idx, (mixture, sources) in enumerate(self.valid_loader):
+            mixture, sources = jnp.asarray(mixture), jnp.asarray(sources)
+            loss, estimates = self.eval_step(self.params, mixture, sources)
+            total += float(loss)
+            n_batches += 1
+            if idx < cfg.save_valid_wavs and epoch == self.start_epoch:
+                self._dump_samples(epoch, idx, mixture, estimates)
+        return total / max(n_batches, 1)
+
+    def _dump_samples(self, epoch, idx, mixture, estimates):
+        from ..data.audio_io import write_wav
+
+        out_dir = os.path.join(self.sample_dir, f"{idx}")
+        os.makedirs(out_dir, exist_ok=True)
+        mix = np.asarray(mixture[0]).reshape(-1)
+        norm = np.abs(mix).max() + 1e-9
+        write_wav(os.path.join(out_dir, "mixture.wav"), mix / norm, self.config.sample_rate)
+        est = np.asarray(estimates[0])
+        for s in range(est.shape[0]):
+            sig = est[s] / (np.abs(est[s]).max() + 1e-9)
+            write_wav(
+                os.path.join(out_dir, f"epoch{epoch + 1}_source{s}.wav"),
+                sig,
+                self.config.sample_rate,
+            )
+
+    # -- persistence ------------------------------------------------------
+    def save_checkpoint(self, epoch: int, path: str):
+        extra = {
+            "optim": flax.serialization.to_state_dict(
+                jax.tree_util.tree_map(np.asarray, self.opt_state)
+            ),
+            "epoch": epoch,
+            "best_loss": self.best_loss,
+            "prev_loss": self.prev_loss,
+            "no_improvement": self.no_improvement,
+            "train_loss": list(self.train_loss),
+            "valid_loss": list(self.valid_loss),
+        }
+        save_model(path, self.model, self.params, extra)
+
+    def draw_loss_curve(self):
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return
+        fig, ax = plt.subplots()
+        epochs = np.arange(1, len(self.train_loss) + 1)
+        ax.plot(epochs, self.train_loss, label="train")
+        ax.plot(epochs, self.valid_loss, label="valid")
+        ax.set_xlabel("epoch")
+        ax.set_ylabel("loss")
+        ax.legend()
+        fig.savefig(os.path.join(self.loss_dir, "loss.png"), bbox_inches="tight")
+        plt.close(fig)

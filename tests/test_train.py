@@ -1,0 +1,111 @@
+"""End-to-end training tests: jitted sharded step, Trainer loop, resume."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dnn_based_source_separation_tpu.criterion import NegSISDR, PIT1d
+from dnn_based_source_separation_tpu.data import DataLoader, SyntheticMixtureDataset
+from dnn_based_source_separation_tpu.models import ConvTasNet
+from dnn_based_source_separation_tpu.parallel import make_mesh
+from dnn_based_source_separation_tpu.train import (
+    Trainer,
+    TrainerConfig,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    get_learning_rate,
+    set_learning_rate,
+)
+
+
+def tiny_model():
+    return ConvTasNet(
+        n_basis=16, kernel_size=8, stride=4, enc_basis="trainable",
+        dec_basis="trainable", enc_nonlinear="relu",
+        sep_hidden_channels=16, sep_bottleneck_channels=8, sep_skip_channels=8,
+        sep_num_blocks=1, sep_num_layers=2, causal=False, n_sources=2,
+    )
+
+
+def test_train_step_reduces_loss():
+    model = tiny_model()
+    ds = SyntheticMixtureDataset(n_items=8, samples=800)
+    mixture, sources = next(iter(DataLoader(ds, batch_size=8)))
+    mixture, sources = jnp.asarray(mixture), jnp.asarray(sources)
+
+    params = model.init(jax.random.PRNGKey(0), mixture)
+    opt = make_optimizer("adam", 1e-3, max_norm=5.0)
+    opt_state = opt.init(params)
+    criterion = PIT1d(NegSISDR(), n_sources=2)
+    step = make_train_step(model, criterion, opt)
+
+    losses = []
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state, mixture, sources)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], f"no learning: {losses[0]} -> {losses[-1]}"
+
+
+def test_train_step_sharded_over_mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual CPU devices"
+    mesh = make_mesh(8)
+    model = tiny_model()
+    ds = SyntheticMixtureDataset(n_items=8, samples=800)
+    mixture, sources = next(iter(DataLoader(ds, batch_size=8)))
+    mixture, sources = jnp.asarray(mixture), jnp.asarray(sources)
+
+    params = model.init(jax.random.PRNGKey(0), mixture)
+    opt = make_optimizer("adam", 1e-3, max_norm=5.0)
+    opt_state = opt.init(params)
+    criterion = PIT1d(NegSISDR(), n_sources=2)
+    step = make_train_step(model, criterion, opt, mesh=mesh)
+
+    # Compare one sharded step against the unsharded step (same math).
+    step0 = make_train_step(model, criterion, opt)
+    p1, _, loss_sharded = step(params, opt_state, mixture, sources)
+    params2 = model.init(jax.random.PRNGKey(0), mixture)
+    opt_state2 = opt.init(params2)
+    p2, _, loss_single = step0(params2, opt_state2, mixture, sources)
+    np.testing.assert_allclose(float(loss_sharded), float(loss_single), rtol=1e-5)
+
+
+def test_learning_rate_get_set():
+    model = tiny_model()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 800)))
+    opt = make_optimizer("adam", 1e-3, max_norm=5.0)
+    state = opt.init(params)
+    assert abs(get_learning_rate(state) - 1e-3) < 1e-9
+    state = set_learning_rate(state, 5e-4)
+    assert abs(get_learning_rate(state) - 5e-4) < 1e-9
+
+
+def test_trainer_runs_and_resumes(tmp_path):
+    model = tiny_model()
+    train_ds = SyntheticMixtureDataset(n_items=8, samples=800, seed=1)
+    valid_ds = SyntheticMixtureDataset(n_items=4, samples=800, seed=2)
+    train_loader = DataLoader(train_ds, batch_size=4, shuffle=True)
+    valid_loader = DataLoader(valid_ds, batch_size=4)
+    criterion = PIT1d(NegSISDR(), n_sources=2)
+    opt = make_optimizer("adam", 1e-3, max_norm=5.0)
+
+    exp = os.path.join(tmp_path, "exp")
+    cfg = TrainerConfig(epochs=2, exp_dir=exp, save_valid_wavs=1, log_interval=1000)
+    trainer = Trainer(model, train_loader, valid_loader, criterion, opt, cfg)
+    trainer.run()
+
+    assert os.path.exists(os.path.join(exp, "model", "last.ckpt"))
+    assert os.path.exists(os.path.join(exp, "model", "best.ckpt"))
+    assert len(trainer.train_loss) == 2
+
+    # Resume for 1 more epoch from last.ckpt.
+    cfg2 = TrainerConfig(
+        epochs=3, exp_dir=exp, continue_from=os.path.join(exp, "model", "last.ckpt"),
+        save_valid_wavs=0, log_interval=1000,
+    )
+    trainer2 = Trainer(model, train_loader, valid_loader, criterion, opt, cfg2)
+    assert trainer2.start_epoch == 2
+    assert trainer2.train_loss[:2] == trainer.train_loss[:2]
+    trainer2.run()
+    assert len(trainer2.train_loss) == 3

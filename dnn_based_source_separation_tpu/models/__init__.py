@@ -2,3 +2,8 @@
 
 from .base import register_model, save_model, load_model, get_model_class
 from .conv_tasnet import ConvTasNet
+from .dprnn_tasnet import DPRNNTasNet
+from .lstm_tasnet import LSTMTasNet, TasNet
+from .sepformer import SepFormer
+from .dptnet import DPTNet
+from .galrnet import GALRNet

@@ -24,6 +24,7 @@ from ..ops.filterbank import choose_filterbank
 from ..ops.norms import choose_layer_norm
 from .base import SeparationModelMixin, register_model
 from .modules import PReLU
+from .skeleton import LatentMaskingMixin
 from .tdcn import TimeDilatedConvNet
 
 EPS = 1e-12
@@ -81,7 +82,7 @@ class Separator(nn.Module):
 
 
 @register_model
-class ConvTasNet(nn.Module, SeparationModelMixin):
+class ConvTasNet(nn.Module, LatentMaskingMixin, SeparationModelMixin):
     """Full Conv-TasNet. Public API matches the reference: forward takes
     (B, C_in=1, T) and returns (B, n_sources, T)."""
 
@@ -152,36 +153,4 @@ class ConvTasNet(nn.Module, SeparationModelMixin):
             eps=self.eps,
         )
 
-    def __call__(self, input):
-        output, _ = self.extract_latent(input)
-        return output
-
-    def extract_latent(self, input):
-        """(B, C_in, T) -> ((B, n_sources, T), latent (B, n_src, T', N))."""
-        B, C_in, T = input.shape
-        stride = self._stride
-
-        padding = (stride - (T - self.kernel_size) % stride) % stride
-        pl, pr = padding // 2, padding - padding // 2
-        x = jnp.pad(input, ((0, 0), (0, 0), (pl, pr)))
-        x = jnp.moveaxis(x, 1, 2)  # channels-last (B, T, C_in)
-
-        w = self.encoder(x)  # (B, T', N) possibly complex
-
-        if jnp.iscomplexobj(w):
-            amplitude, phase = jnp.abs(w), jnp.angle(w)
-            mask = self.separator(amplitude)  # (B, n_src, T', F)
-            w_hat = amplitude[:, None] * mask * jnp.exp(1j * phase[:, None])
-        else:
-            mask = self.separator(w)
-            w_hat = w[:, None] * mask  # (B, n_src, T', N)
-
-        latent = w_hat
-        if self.dec_basis == "pinv":
-            x_hat = self.encoder.pinv_decode(w_hat)  # (B, n_src, T_pad, 1)
-        else:
-            x_hat = self.decoder(w_hat)
-        x_hat = x_hat[..., 0]  # (B, n_src, T_pad)
-        end = x_hat.shape[-1] - pr
-        output = x_hat[..., pl:end]
-        return output, latent
+    # __call__ / extract_latent inherited from LatentMaskingMixin.

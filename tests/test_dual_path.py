@@ -1,0 +1,127 @@
+"""Dual-path family tests: DPRNN-TasNet, LSTM-TasNet, SepFormer, DPTNet, GALRNet."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from dnn_based_source_separation_tpu.models import (
+    DPRNNTasNet,
+    DPTNet,
+    GALRNet,
+    LSTMTasNet,
+    SepFormer,
+)
+from dnn_based_source_separation_tpu.ops.rnn import LSTM, GRU
+from dnn_based_source_separation_tpu.models.base import save_model, load_model
+
+import torch
+
+
+def test_lstm_matches_torch():
+    """Our fused-gate scan must reproduce torch.nn.LSTM numerics exactly."""
+    B, T, F, H = 3, 12, 5, 7
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((B, T, F)).astype(np.float32)
+
+    model = LSTM(hidden_size=H, bidirectional=True)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    ref = torch.nn.LSTM(F, H, batch_first=True, bidirectional=True)
+    with torch.no_grad():
+        p = params["params"]
+        ref.weight_ih_l0.copy_(torch.from_numpy(np.asarray(p["w_ih_l0"]).T))
+        ref.weight_hh_l0.copy_(torch.from_numpy(np.asarray(p["w_hh_l0"]).T))
+        ref.bias_ih_l0.copy_(torch.from_numpy(np.asarray(p["b_l0"])))
+        ref.bias_hh_l0.zero_()
+        ref.weight_ih_l0_reverse.copy_(torch.from_numpy(np.asarray(p["w_ih_l0_reverse"]).T))
+        ref.weight_hh_l0_reverse.copy_(torch.from_numpy(np.asarray(p["w_hh_l0_reverse"]).T))
+        ref.bias_ih_l0_reverse.copy_(torch.from_numpy(np.asarray(p["b_l0_reverse"])))
+        ref.bias_hh_l0_reverse.zero_()
+        expected, _ = ref(torch.from_numpy(x))
+
+    ours = model.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), expected.numpy(), atol=1e-5)
+
+
+def test_gru_matches_torch():
+    B, T, F, H = 2, 10, 4, 6
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((B, T, F)).astype(np.float32)
+
+    model = GRU(hidden_size=H)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    ref = torch.nn.GRU(F, H, batch_first=True)
+    with torch.no_grad():
+        p = params["params"]
+        ref.weight_ih_l0.copy_(torch.from_numpy(np.asarray(p["w_ih_l0"]).T))
+        ref.weight_hh_l0.copy_(torch.from_numpy(np.asarray(p["w_hh_l0"]).T))
+        ref.bias_ih_l0.copy_(torch.from_numpy(np.asarray(p["b_ih_l0"])))
+        ref.bias_hh_l0.copy_(torch.from_numpy(np.asarray(p["b_hh_l0"])))
+        expected, _ = ref(torch.from_numpy(x))
+
+    ours = model.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), expected.numpy(), atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "model",
+    [
+        DPRNNTasNet(
+            n_basis=16, kernel_size=4, stride=2, enc_basis="trainable",
+            dec_basis="trainable", enc_nonlinear="relu",
+            sep_bottleneck_channels=8, sep_hidden_channels=8,
+            sep_chunk_size=10, sep_hop_size=5, sep_num_blocks=2,
+            causal=False, n_sources=2,
+        ),
+        LSTMTasNet(
+            n_basis=16, kernel_size=8, stride=4, enc_basis="trainableGated",
+            dec_basis="trainable", sep_num_blocks=2, sep_num_layers=1,
+            sep_hidden_channels=12, causal=False, n_sources=2,
+        ),
+        SepFormer(
+            n_basis=16, kernel_size=4, stride=2, enc_nonlinear="relu",
+            sep_bottleneck_channels=8, sep_chunk_size=10, sep_hop_size=5,
+            sep_num_blocks=1, sep_num_layers_intra=1, sep_num_layers_inter=1,
+            sep_num_heads_intra=2, sep_num_heads_inter=2,
+            sep_d_ff_intra=16, sep_d_ff_inter=16, n_sources=2,
+        ),
+        DPTNet(
+            n_basis=16, kernel_size=4, stride=2, enc_nonlinear="relu",
+            sep_bottleneck_channels=8, sep_hidden_channels=8,
+            sep_chunk_size=10, sep_num_blocks=2, sep_num_heads=2,
+            causal=False, n_sources=2,
+        ),
+        GALRNet(
+            n_basis=16, kernel_size=4, stride=2, enc_nonlinear="relu",
+            sep_hidden_channels=8, sep_chunk_size=10, sep_hop_size=5,
+            sep_down_chunk_size=4, sep_num_blocks=2, sep_num_heads=2,
+            low_dimension=True, causal=False, n_sources=2,
+        ),
+    ],
+    ids=["dprnn", "lstm-tasnet", "sepformer", "dptnet", "galrnet"],
+)
+def test_dual_path_forward_shapes(model):
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 1, 160)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (2, 2, 160)
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_dprnn_checkpoint_roundtrip(tmp_path):
+    model = DPRNNTasNet(
+        n_basis=16, kernel_size=4, stride=2, enc_basis="trainable",
+        dec_basis="trainable", enc_nonlinear="relu",
+        sep_bottleneck_channels=8, sep_hidden_channels=8,
+        sep_chunk_size=10, sep_hop_size=5, sep_num_blocks=1,
+        causal=False, n_sources=2,
+    )
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 1, 160)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    y0 = model.apply(params, x)
+    path = str(tmp_path / "m.ckpt")
+    save_model(path, model, params)
+    model2, params2, _ = load_model(path)
+    y1 = model2.apply(params2, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)

@@ -59,23 +59,38 @@ def make_train_step(
     criterion: Callable,
     optimizer,
     mesh: Optional[Mesh] = None,
+    train_kwargs: Optional[dict] = None,
 ) -> Callable:
-    """Build jitted (params, opt_state, mixture, sources) -> (params, opt_state, loss).
+    """Build jitted (variables, opt_state, mixture, sources) ->
+    (variables, opt_state, loss).
 
+    `variables` is the full flax variables dict; gradients flow through
+    variables['params'] only, while auxiliary collections (e.g. UMX
+    batch_stats) are threaded through `mutable` apply and carried forward.
     criterion follows the PIT protocol: returns (loss, pattern); plain
-    criteria returning a scalar also work.
+    scalar criteria also work. `train_kwargs` is forwarded to model.apply
+    (e.g. {'train': True} for BatchNorm models).
     """
+    tk = train_kwargs or {}
 
-    def loss_fn(params, mixture, sources):
-        estimates = model.apply(params, mixture)
-        out = criterion(estimates, sources)
-        return out[0] if isinstance(out, tuple) else out
+    def train_step(variables, opt_state, mixture, sources):
+        params = variables["params"]
+        aux = {k: v for k, v in variables.items() if k != "params"}
 
-    def train_step(params, opt_state, mixture, sources):
-        loss, grads = jax.value_and_grad(loss_fn)(params, mixture, sources)
+        def loss_fn(p):
+            v = {"params": p, **aux}
+            if aux:
+                estimates, new_aux = model.apply(v, mixture, mutable=list(aux.keys()), **tk)
+            else:
+                estimates, new_aux = model.apply(v, mixture, **tk), {}
+            out = criterion(estimates, sources)
+            loss = out[0] if isinstance(out, tuple) else out
+            return loss, new_aux
+
+        (loss, new_aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return {"params": params, **dict(new_aux)}, opt_state, loss
 
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0, 1))
@@ -91,10 +106,10 @@ def make_train_step(
 
 
 def make_eval_step(model, criterion: Callable, mesh: Optional[Mesh] = None) -> Callable:
-    """Build jitted (params, mixture, sources) -> (loss, estimates)."""
+    """Build jitted (variables, mixture, sources) -> (loss, estimates)."""
 
-    def eval_step(params, mixture, sources):
-        estimates = model.apply(params, mixture)
+    def eval_step(variables, mixture, sources):
+        estimates = model.apply(variables, mixture)
         out = criterion(estimates, sources)
         loss = out[0] if isinstance(out, tuple) else out
         return loss, estimates

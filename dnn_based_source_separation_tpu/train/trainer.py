@@ -60,6 +60,7 @@ class Trainer:
         mesh=None,
         init_params=None,
         eval_criterion: Callable | None = None,
+        train_kwargs: dict | None = None,
     ):
         self.model = model
         self.train_loader = train_loader
@@ -75,12 +76,12 @@ class Trainer:
         for d in (self.model_dir, self.loss_dir, self.sample_dir):
             os.makedirs(d, exist_ok=True)
 
-        self.train_step = make_train_step(model, criterion, optimizer, mesh=mesh)
+        self.train_step = make_train_step(model, criterion, optimizer, mesh=mesh, train_kwargs=train_kwargs)
         self.eval_step = make_eval_step(model, eval_criterion or criterion, mesh=mesh)
 
         if config.continue_from:
             _, self.params, extra = load_model(config.continue_from)
-            opt_template = optimizer.init(self.params)
+            opt_template = optimizer.init(self.params["params"])
             self.opt_state = flax.serialization.from_state_dict(opt_template, extra["optim"])
             self.start_epoch = int(extra["epoch"]) + 1
             self.best_loss = float(extra["best_loss"])
@@ -96,7 +97,7 @@ class Trainer:
                 example = next(iter(train_loader))
                 init_params = model.init(jax.random.PRNGKey(0), jnp.asarray(example[0][:1]))
             self.params = init_params
-            self.opt_state = optimizer.init(self.params)
+            self.opt_state = optimizer.init(self.params["params"])
             self.start_epoch = 0
             self.best_loss = float("inf")
             self.prev_loss = float("inf")

@@ -1,0 +1,145 @@
+"""Algorithm-layer tests: masks, Wiener EM, Griffin-Lim, MISI, clustering, NMF."""
+import numpy as np
+import jax.numpy as jnp
+
+from dnn_based_source_separation_tpu.algorithm import (
+    GMMClustering,
+    KMeans,
+    NMF,
+    SphericalKMeans,
+    compute_ideal_binary_mask,
+    compute_ideal_ratio_mask,
+    compute_ideal_amplitude_mask,
+    compute_phase_sensitive_mask,
+    compute_wiener_filter_mask,
+    fast_griffin_lim,
+    griffin_lim,
+    misi,
+    multichannel_wiener_filter,
+)
+from dnn_based_source_separation_tpu.ops import build_window, stft
+
+
+def _specs(seed=0, n_src=2, F=33, T=20):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(
+        rng.standard_normal((n_src, F, T)) + 1j * rng.standard_normal((n_src, F, T)),
+        jnp.complex64,
+    )
+
+
+def test_ibm_is_onehot():
+    s = _specs()
+    m = np.asarray(compute_ideal_binary_mask(s))
+    np.testing.assert_allclose(m.sum(axis=0), 1.0)
+    assert set(np.unique(m)) <= {0.0, 1.0}
+
+
+def test_irm_and_wfm_sum_to_one():
+    s = _specs()
+    irm = np.asarray(compute_ideal_ratio_mask(s))
+    np.testing.assert_allclose(irm.sum(axis=0), 1.0, atol=1e-4)
+    wfm = np.asarray(compute_wiener_filter_mask(s))
+    np.testing.assert_allclose(wfm.sum(axis=0), 1.0, atol=1e-4)
+
+
+def test_iam_psm_shapes():
+    s = _specs()
+    assert compute_ideal_amplitude_mask(s).shape == s.shape
+    assert compute_phase_sensitive_mask(s).shape == s.shape
+
+
+def test_wiener_em_improves_oracle_like_estimates():
+    # 2 sources, 2 channels with distinct spatial images.
+    rng = np.random.default_rng(1)
+    F, T = 16, 30
+    s1 = rng.standard_normal((F, T)) + 1j * rng.standard_normal((F, T))
+    s2 = rng.standard_normal((F, T)) + 1j * rng.standard_normal((F, T))
+    a1 = np.array([1.0, 0.3])
+    a2 = np.array([0.4, 1.0])
+    img1 = a1[:, None, None] * s1
+    img2 = a2[:, None, None] * s2
+    mix = img1 + img2  # (2, F, T)
+    amps = np.stack([np.abs(img1), np.abs(img2)])  # (2, 2, F, T)
+
+    out = np.asarray(multichannel_wiener_filter(jnp.asarray(mix, jnp.complex64),
+                                                jnp.asarray(amps, jnp.float32), iteration=2))
+    assert out.shape == amps.shape
+    err_out = np.mean(np.abs(out[0] - img1) ** 2 + np.abs(out[1] - img2) ** 2)
+    # Baseline: naive ratio-mask estimates
+    ratio = amps / (amps.sum(axis=0) + 1e-12)
+    naive = ratio * mix
+    err_naive = np.mean(np.abs(naive[0] - img1) ** 2 + np.abs(naive[1] - img2) ** 2)
+    assert err_out < err_naive
+
+
+def test_griffin_lim_reconstruction():
+    rng = np.random.default_rng(2)
+    n_fft, hop = 64, 16
+    t = np.arange(2048) / 8000.0
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    w = build_window(n_fft, "hann")
+    amp = jnp.abs(stft(jnp.asarray(x), n_fft, hop, window=w))
+
+    def consistency(y):
+        amp_y = np.abs(np.asarray(stft(jnp.asarray(y), n_fft, hop, window=w)))
+        return np.linalg.norm(amp_y - np.asarray(amp)) / np.linalg.norm(np.asarray(amp))
+
+    r10 = consistency(np.asarray(griffin_lim(amp, n_fft, hop, window=w, iteration=10, length=2048)))
+    r100 = consistency(np.asarray(griffin_lim(amp, n_fft, hop, window=w, iteration=100, length=2048)))
+    assert r100 < r10, "Griffin-Lim must converge with iterations"
+    assert r100 < 0.15
+
+    # The momentum variant must converge at least as fast at equal budget.
+    rf = consistency(np.asarray(fast_griffin_lim(amp, n_fft, hop, window=w, iteration=100, length=2048)))
+    assert rf < 0.15
+
+
+def test_misi_resynthesis_sums_to_mixture():
+    rng = np.random.default_rng(3)
+    n_fft, hop, T = 64, 16, 2048
+    s1 = rng.standard_normal(T).astype(np.float32)
+    s2 = rng.standard_normal(T).astype(np.float32)
+    mix = s1 + s2
+    w = build_window(n_fft, "hann")
+    amps = jnp.abs(stft(jnp.asarray(np.stack([s1, s2])), n_fft, hop, window=w))
+    est0 = np.asarray(misi(amps, jnp.asarray(mix), n_fft, hop, window=w, iteration=0))
+    est = np.asarray(misi(amps, jnp.asarray(mix), n_fft, hop, window=w, iteration=10))
+    # MISI improves source-sum consistency with the mixture vs no iterations.
+    err0 = np.linalg.norm(est0.sum(axis=0) - mix)
+    err = np.linalg.norm(est.sum(axis=0) - mix)
+    assert err < err0
+    np.testing.assert_allclose(est.sum(axis=0), mix, atol=0.6)
+
+
+def test_kmeans_separates_blobs():
+    rng = np.random.default_rng(4)
+    c1 = rng.standard_normal((40, 2)) * 0.2 + np.array([3, 0])
+    c2 = rng.standard_normal((40, 2)) * 0.2 + np.array([-3, 0])
+    data = jnp.asarray(np.concatenate([c1, c2])[None], jnp.float32)
+    assign, centroids = KMeans(2, n_iterations=10)(data)
+    assign = np.asarray(assign)[0]
+    assert len(set(assign[:40])) == 1 and len(set(assign[40:])) == 1
+    assert assign[0] != assign[40]
+
+
+def test_spherical_kmeans_and_gmm_run():
+    rng = np.random.default_rng(5)
+    data = jnp.asarray(rng.standard_normal((2, 50, 4)), jnp.float32)
+    a, c = SphericalKMeans(3, n_iterations=5)(data)
+    assert a.shape == (2, 50) and c.shape == (2, 3, 4)
+    r, m = GMMClustering(3, n_iterations=5)(data)
+    assert r.shape == (2, 50, 3) and m.shape == (2, 3, 4)
+    np.testing.assert_allclose(np.asarray(r).sum(-1), 1.0, atol=1e-4)
+
+
+def test_nmf_reduces_error():
+    rng = np.random.default_rng(6)
+    W0 = rng.uniform(0, 1, (20, 3))
+    H0 = rng.uniform(0, 1, (3, 30))
+    V = jnp.asarray(W0 @ H0, jnp.float32)
+    for div in ("EUC", "KL", "IS"):
+        nmf = NMF(3, divergence=div, n_iterations=50)
+        W, H = nmf(V)
+        err = np.linalg.norm(np.asarray(W @ H) - np.asarray(V)) / np.linalg.norm(np.asarray(V))
+        assert err < 0.2, f"{div} err={err}"

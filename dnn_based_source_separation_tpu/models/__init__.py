@@ -7,3 +7,8 @@ from .lstm_tasnet import LSTMTasNet, TasNet
 from .sepformer import SepFormer
 from .dptnet import DPTNet
 from .galrnet import GALRNet
+from .umx import OpenUnmix, ParallelOpenUnmix
+from .xumx import CrossNetOpenUnmix
+from .danet import DANet, FixedAttractorDANet
+from .adanet import ADANet
+from .deep_clustering import DeepEmbedding, ChimeraNet

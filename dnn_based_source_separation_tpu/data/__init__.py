@@ -3,4 +3,12 @@
 from .audio_io import read_wav, write_wav
 from .loader import DataLoader
 from .synthetic import SyntheticMixtureDataset
-from .wsj0mix import WaveTrainDataset, WaveEvalDataset, WaveTestDataset
+from .wsj0mix import (
+    WaveTrainDataset,
+    WaveEvalDataset,
+    WaveTestDataset,
+    SpectrogramTrainDataset,
+    IdealMaskSpectrogramTrainDataset,
+    WaveTrainVariableSourcesDataset,
+)
+from . import musdb18

@@ -133,3 +133,135 @@ class WaveTestDataset(_WaveDatasetBase):
         utt = self.utt_ids[idx]
         mixture, sources = self._load(utt, 0, None)
         return utt, mixture[None, :].astype(np.float32), sources.astype(np.float32)
+
+
+# -- spectrogram / ideal-mask datasets (DC / DANet / ADANet paths) ----------
+
+def _np_stft(x: np.ndarray, n_fft: int, hop_length: int, window: np.ndarray) -> np.ndarray:
+    """Host-side STFT matching ops.stft semantics (center reflect, onesided).
+
+    x: (..., T) -> (..., n_bins, n_frames) complex64.
+    """
+    pad = n_fft // 2
+    x = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+    T = x.shape[-1]
+    n_frames = (T - n_fft) // hop_length + 1
+    idx = np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
+    frames = x[..., idx] * window
+    spec = np.fft.rfft(frames, axis=-1).astype(np.complex64)
+    return np.swapaxes(spec, -1, -2)
+
+
+class SpectrogramTrainDataset(WaveTrainDataset):
+    """Complex STFTs of fixed windows (reference dataset.py:177-210)."""
+
+    def __init__(self, wav_root, list_path, n_fft, hop_length=None, window_fn="hann",
+                 samples=32000, overlap=None, n_sources=2):
+        super().__init__(wav_root, list_path, samples=samples, overlap=overlap, n_sources=n_sources)
+        self.n_fft = n_fft
+        self.hop_length = hop_length or n_fft // 2
+        k = np.arange(n_fft)
+        if window_fn == "hann":
+            self.window = (0.5 - 0.5 * np.cos(2 * np.pi * k / n_fft)).astype(np.float32)
+        else:
+            self.window = np.ones(n_fft, np.float32)
+
+    def __getitem__(self, idx):
+        mixture, sources = super().__getitem__(idx)
+        mix_spec = _np_stft(mixture, self.n_fft, self.hop_length, self.window)
+        src_spec = _np_stft(sources, self.n_fft, self.hop_length, self.window)
+        return mix_spec, src_spec
+
+
+class IdealMaskSpectrogramTrainDataset(SpectrogramTrainDataset):
+    """Adds ideal masks + threshold weights (reference dataset.py:211-250).
+
+    Emits (|mixture| (1,F,Tf), |sources| (n,F,Tf), ideal_mask, threshold_weight).
+    """
+
+    def __init__(self, wav_root, list_path, n_fft, hop_length=None, window_fn="hann",
+                 mask_type="ibm", threshold=40.0, samples=32000, overlap=None,
+                 n_sources=2, eps=1e-12):
+        super().__init__(wav_root, list_path, n_fft, hop_length, window_fn, samples, overlap, n_sources)
+        self.mask_type = mask_type
+        self.threshold = threshold
+        self.eps = eps
+
+    def __getitem__(self, idx):
+        mix_spec, src_spec = super().__getitem__(idx)
+        mix_amp = np.abs(mix_spec)
+        src_amp = np.abs(src_spec)
+
+        if self.mask_type == "ibm":
+            max_idx = np.argmax(src_amp, axis=0)
+            mask = np.eye(src_amp.shape[0], dtype=np.float32)[max_idx]
+            mask = np.moveaxis(mask, -1, 0)
+        elif self.mask_type == "irm":
+            mask = src_amp / (src_amp.sum(axis=0) + self.eps)
+        elif self.mask_type == "wfm":
+            power = src_amp**2
+            mask = power / (power.sum(axis=0) + self.eps)
+        else:
+            raise NotImplementedError(f"Unsupported mask: {self.mask_type}")
+
+        log_amp = 20 * np.log10(mix_amp + self.eps)
+        thr = 10 ** ((log_amp.max() - self.threshold) / 20)
+        threshold_weight = (mix_amp > thr).astype(np.float32)
+        return (
+            mix_amp.astype(np.float32),
+            src_amp.astype(np.float32),
+            mask.astype(np.float32),
+            threshold_weight,
+        )
+
+
+class WaveTrainVariableSourcesDataset(_WaveDatasetBase):
+    """Variable #sources per utterance, padded + counts (ORPIT training).
+
+    Replaces the reference's PackedSequence collate (dataset.py:490-683)
+    with a zero-padded source axis + per-item count -- static shapes for
+    the TPU (criterion.pit.orpit consumes exactly this form).
+    """
+
+    def __init__(self, wav_root, list_path, samples=32000, overlap=None,
+                 max_sources=3, n_sources_per_utt=None):
+        super().__init__(wav_root, list_path, n_sources=max_sources)
+        self.samples = samples
+        self.overlap = samples // 2 if overlap is None else overlap
+        self.max_sources = max_sources
+        self.counts = n_sources_per_utt or {}
+        hop = samples - self.overlap
+        self.index = []
+        for utt in self.utt_ids:
+            mix_path, _ = self._paths(utt)
+            T = _wav_length(mix_path)
+            for start in range(0, T - samples + 1, hop):
+                self.index.append((utt, start))
+
+    def _count(self, utt_id: str) -> int:
+        if utt_id in self.counts:
+            return self.counts[utt_id]
+        # Probe which sN/ files exist.
+        n = 0
+        for idx in range(self.max_sources):
+            path = os.path.join(self.wav_root, f"s{idx + 1}", utt_id + ".wav")
+            if os.path.exists(path):
+                n += 1
+        return n
+
+    def __len__(self):
+        return len(self.index)
+
+    def __getitem__(self, idx):
+        utt, start = self.index[idx]
+        n = self._count(utt)
+        mixture, _ = read_wav(os.path.join(self.wav_root, "mix", utt + ".wav"), start, self.samples)
+        sources = np.zeros((self.max_sources, self.samples), np.float32)
+        for s in range(n):
+            x, _ = read_wav(os.path.join(self.wav_root, f"s{s + 1}", utt + ".wav"), start, self.samples)
+            sources[s, : x.shape[0]] = x
+        return (
+            mixture[None, :].astype(np.float32),
+            sources,
+            np.int32(n),
+        )

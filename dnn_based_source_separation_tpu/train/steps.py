@@ -124,3 +124,39 @@ def make_eval_step(model, criterion: Callable, mesh: Optional[Mesh] = None) -> C
         in_shardings=(repl, data, data),
         out_shardings=(repl, data),
     )
+
+
+def make_attractor_train_step(model, criterion, optimizer, mesh=None):
+    """Train step for attractor models (DANet): oracle assignments ride the
+    batch (reference AttractorTrainer, egs/wsj0-mix/common/src/driver.py:400).
+
+    Batch = (mixture_amp (B,1,F,T), sources_amp (B,n,F,T), assignment,
+    threshold_weight); loss = criterion(est_amp, sources_amp).
+    """
+
+    def train_step(variables, opt_state, mixture, sources, assignment, threshold_weight):
+        params = variables["params"]
+        aux = {k: v for k, v in variables.items() if k != "params"}
+
+        def loss_fn(p):
+            v = {"params": p, **aux}
+            estimates = model.apply(v, mixture, assignment, threshold_weight)
+            out = criterion(estimates, sources)
+            loss = out[0] if isinstance(out, tuple) else out
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return {"params": params, **aux}, opt_state, loss
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0, 1))
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, repl, data, data, data, data),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
+    )

@@ -1,0 +1,149 @@
+"""Data-layer tests: wsj0mix datasets, musdb18 datasets, augmentation, ORPIT."""
+import os
+
+import numpy as np
+import pytest
+
+from dnn_based_source_separation_tpu.augmentation import (
+    RandomFlip,
+    RandomGain,
+    RandomSign,
+    SequentialAugmentation,
+    choose_augmentation,
+)
+from dnn_based_source_separation_tpu.data import (
+    DataLoader,
+    IdealMaskSpectrogramTrainDataset,
+    WaveTrainDataset,
+    WaveTrainVariableSourcesDataset,
+    WaveTestDataset,
+)
+from dnn_based_source_separation_tpu.data.audio_io import write_wav
+from dnn_based_source_separation_tpu.data import musdb18 as musdb
+
+
+@pytest.fixture()
+def wsj0_corpus(tmp_path):
+    """Tiny synthetic wsj0-mix style corpus: 3 utterances, 2 sources."""
+    rng = np.random.default_rng(0)
+    root = tmp_path / "2speakers" / "tr"
+    for sub in ("mix", "s1", "s2"):
+        os.makedirs(root / sub)
+    utts = []
+    for i in range(3):
+        T = 4000 + 500 * i
+        s1 = 0.1 * rng.standard_normal(T)
+        s2 = 0.1 * rng.standard_normal(T)
+        utt = f"utt{i}"
+        write_wav(str(root / "s1" / f"{utt}.wav"), s1, 8000)
+        write_wav(str(root / "s2" / f"{utt}.wav"), s2, 8000)
+        write_wav(str(root / "mix" / f"{utt}.wav"), s1 + s2, 8000)
+        utts.append(utt)
+    list_path = tmp_path / "tr.lst"
+    list_path.write_text("\n".join(utts))
+    return str(root), str(list_path)
+
+
+def test_wave_train_dataset_windows(wsj0_corpus):
+    root, lst = wsj0_corpus
+    ds = WaveTrainDataset(root, lst, samples=2000)
+    assert len(ds) >= 3
+    mix, src = ds[0]
+    assert mix.shape == (1, 2000) and src.shape == (2, 2000)
+    np.testing.assert_allclose(mix[0], src.sum(0), atol=1e-3)
+
+    loader = DataLoader(ds, batch_size=2, shuffle=True, drop_last=True)
+    bm, bs = next(iter(loader))
+    assert bm.shape == (2, 1, 2000) and bs.shape == (2, 2, 2000)
+
+
+def test_wave_test_dataset_ids(wsj0_corpus):
+    root, lst = wsj0_corpus
+    ds = WaveTestDataset(root, lst, n_sources=2)
+    utt, mix, src = ds[1]
+    assert utt == "utt1"
+    assert mix.shape[0] == 1 and src.shape[0] == 2
+
+
+def test_ideal_mask_dataset(wsj0_corpus):
+    root, lst = wsj0_corpus
+    ds = IdealMaskSpectrogramTrainDataset(root, lst, n_fft=64, samples=2000, mask_type="ibm")
+    mix_amp, src_amp, mask, weight = ds[0]
+    F = 33
+    assert mix_amp.shape[0] == 1 and mix_amp.shape[1] == F
+    assert mask.shape[0] == 2
+    np.testing.assert_allclose(mask.sum(axis=0), 1.0)
+    assert set(np.unique(weight)) <= {0.0, 1.0}
+
+
+def test_orpit_variable_sources_dataset(wsj0_corpus):
+    root, lst = wsj0_corpus
+    ds = WaveTrainVariableSourcesDataset(root, lst, samples=2000, max_sources=3)
+    mix, src, n = ds[0]
+    assert mix.shape == (1, 2000)
+    assert src.shape == (3, 2000)
+    assert n == 2  # only s1/s2 exist
+    np.testing.assert_allclose(np.asarray(src[2]), 0.0)
+
+
+def test_augmentations():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 100)).astype(np.float32)
+    aug = SequentialAugmentation(
+        choose_augmentation("random_flip", flip_rate=1.0, axis=-1),
+        choose_augmentation("random_gain", min=2.0, max=2.0),
+    )
+    y = aug(x, np.random.default_rng(0))
+    np.testing.assert_allclose(y, 2.0 * x[:, ::-1], atol=1e-6)
+
+    z = RandomSign(rate=1.0)(x, np.random.default_rng(0))
+    np.testing.assert_allclose(z, -x)
+
+
+@pytest.fixture()
+def musdb_corpus(tmp_path):
+    rng = np.random.default_rng(2)
+    names = ["trackA", "trackB"]
+    sr = 8000
+    for name in names:
+        d = tmp_path / "train" / name
+        os.makedirs(d)
+        stems = {}
+        for s in musdb.__sources__:
+            stems[s] = 0.05 * rng.standard_normal(sr * 2)
+            write_wav(str(d / f"{s}.wav"), stems[s], sr)
+        write_wav(str(d / "mixture.wav"), sum(stems.values()), sr)
+    (tmp_path / "train.txt").write_text("\n".join(names))
+    (tmp_path / "validation.txt").write_text("trackB")
+    return str(tmp_path), sr
+
+
+def test_musdb_wave_train_dataset(musdb_corpus):
+    root, sr = musdb_corpus
+    ds = musdb.WaveTrainDataset(root, duration=1.0, sample_rate=sr)
+    mix, src = ds[0]
+    assert mix.shape == (1, 1, sr) and src.shape == (4, 1, sr)
+    np.testing.assert_allclose(mix[0], src.sum(0), atol=2e-3)
+
+
+def test_musdb_augmentation_dataset_remixes(musdb_corpus):
+    root, sr = musdb_corpus
+    aug = SequentialAugmentation(RandomGain(min=0.5, max=1.5))
+    ds = musdb.AugmentationWaveTrainDataset(
+        root, duration=0.5, sample_rate=sr, augmentation=aug, samples_per_epoch=5,
+    )
+    assert len(ds) == 5
+    mix, src = ds[0]
+    assert mix.shape == (1, 1, sr // 2) and src.shape == (4, 1, sr // 2)
+    np.testing.assert_allclose(mix[0], src.sum(0), atol=1e-4)
+    # Deterministic per (seed, idx).
+    mix2, _ = ds[0]
+    np.testing.assert_allclose(mix, mix2)
+
+
+def test_musdb_valid_split(musdb_corpus):
+    root, sr = musdb_corpus
+    train = musdb.WaveTrainDataset(root, duration=0.5, sample_rate=sr)
+    assert all(name == "trackA" for name, _ in train.index)
+    ev = musdb.WaveEvalDataset(root, max_duration=1.0, sample_rate=sr)
+    assert ev.names == ["trackB"]

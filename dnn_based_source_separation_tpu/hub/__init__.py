@@ -1,0 +1,17 @@
+"""Hub: pretrained-checkpoint conversion and fetching.
+
+Replaces the reference's Google-Drive/gdown hub
+(`src/models/conv_tasnet.py:238-310`, `src/utils/utils.py:36-47`) with a
+pluggable fetcher plus a torch-state-dict -> flax-params converter, so
+PyTorch checkpoints from PRETRAINED.md can run on TPU.
+"""
+
+from .torch_convert import (
+    conv1d_weight,
+    conv_transpose1d_weight,
+    dense_weight,
+    depthwise_conv1d_weight,
+    lstm_params,
+    convert_conv_tasnet,
+    build_from_torch_checkpoint,
+)

@@ -1,0 +1,179 @@
+"""torch state_dict -> flax params conversion.
+
+Layer-level adapters encode the transpose conventions once (verified
+against torch in tests/test_hub.py); model-level converters map the
+reference's parameter names onto this framework's module tree.
+
+Shapes (torch -> ours):
+  Conv1d k=1            (out, in, 1)   -> Dense kernel (in, out)
+  Conv1d k>1 (NWC)      (out, in, k)   -> nn.Conv kernel (k, in, out)
+  depthwise Conv1d      (C, 1, k)      -> nn.Conv kernel (k, 1, C)
+  ConvTranspose1d       (in, out, k)   -> frame+matmul decoder (in, out*k)
+  encoder Conv1d        (N, C, L)      -> frame+matmul encoder (C*L, N)
+  LSTM weight_ih_l*     (4H, F)        -> w_ih (F, 4H); b = b_ih + b_hh
+"""
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+
+def _np(t):
+    """Accept torch tensors or numpy arrays."""
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def dense_weight(w) -> np.ndarray:
+    """torch Linear weight (out, in) -> flax Dense kernel (in, out)."""
+    return _np(w).T
+
+
+def conv1d_weight(w) -> np.ndarray:
+    """torch Conv1d weight (out, in, k) -> flax nn.Conv kernel (k, in, out)."""
+    return np.transpose(_np(w), (2, 1, 0))
+
+
+def depthwise_conv1d_weight(w) -> np.ndarray:
+    """torch depthwise Conv1d (C, 1, k) -> flax kernel (k, 1, C)."""
+    return np.transpose(_np(w), (2, 1, 0))
+
+
+def conv2d_weight(w) -> np.ndarray:
+    """torch Conv2d weight (out, in, kh, kw) -> flax (kh, kw, in, out)."""
+    return np.transpose(_np(w), (2, 3, 1, 0))
+
+
+def conv_transpose1d_weight(w) -> np.ndarray:
+    """torch ConvTranspose1d (in=N, out=C, k=L) -> decoder matmul (N, C*L)."""
+    w = _np(w)  # (N, C, L)
+    N, C, L = w.shape
+    return w.reshape(N, C * L)
+
+
+def encoder_conv1d_weight(w) -> np.ndarray:
+    """torch Conv1d encoder (N, C, L) -> frame+matmul encoder (C*L, N)."""
+    w = _np(w)
+    N = w.shape[0]
+    return w.reshape(N, -1).T
+
+
+def lstm_params(state_dict: Mapping, prefix: str, num_layers: int = 1, bidirectional: bool = True) -> Dict:
+    """torch nn.LSTM params under `prefix` -> ops.rnn.LSTM param dict."""
+    out = {}
+    dot = f"{prefix}." if prefix else ""
+    for layer in range(num_layers):
+        for direction in ([0, 1] if bidirectional else [0]):
+            t_sfx = f"_l{layer}" + ("_reverse" if direction else "")
+            w_ih = _np(state_dict[f"{dot}weight_ih{t_sfx}"])
+            w_hh = _np(state_dict[f"{dot}weight_hh{t_sfx}"])
+            b = _np(state_dict[f"{dot}bias_ih{t_sfx}"]) + _np(state_dict[f"{dot}bias_hh{t_sfx}"])
+            out[f"w_ih{t_sfx}"] = w_ih.T
+            out[f"w_hh{t_sfx}"] = w_hh.T
+            out[f"b{t_sfx}"] = b
+    return out
+
+
+def _norm_params(state_dict: Mapping, prefix: str) -> Dict:
+    """gLN/cLN gamma/beta (1, N, 1) -> (N,)."""
+    return {
+        "gamma": _np(state_dict[f"{prefix}.gamma"]).reshape(-1),
+        "beta": _np(state_dict[f"{prefix}.beta"]).reshape(-1),
+    }
+
+
+def _dense_params(state_dict: Mapping, prefix: str, conv: bool = True) -> Dict:
+    """1x1 Conv1d or Linear -> Dense {kernel, bias}."""
+    w = _np(state_dict[f"{prefix}.weight"])
+    if conv:
+        w = w[..., 0]  # (out, in, 1) -> (out, in)
+    out = {"kernel": w.T}
+    if f"{prefix}.bias" in state_dict:
+        out["bias"] = _np(state_dict[f"{prefix}.bias"])
+    return out
+
+
+def convert_conv_tasnet(state_dict: Mapping, config: Mapping) -> Dict:
+    """Reference ConvTasNet state_dict -> flax params tree.
+
+    Supports enc_basis='trainable', dec_basis='trainable' (the headline
+    wsj0-mix configuration, reference conv_tasnet.py:57-114).
+    """
+    p: Dict = {}
+
+    p["encoder"] = {"kernel": encoder_conv1d_weight(state_dict["encoder.conv1d.weight"])}
+    p["decoder"] = {"kernel": conv_transpose1d_weight(state_dict["decoder.conv_transpose1d.weight"])}
+
+    num_blocks = int(config.get("sep_num_blocks", 3))
+    num_layers = int(config.get("sep_num_layers", 8))
+    causal = bool(config.get("causal", False))
+    # Unnamed flax submodules are auto-named by class.
+    norm_cls = "CumulativeLayerNorm_0" if causal else "GlobalLayerNorm_0"
+
+    sep: Dict = {}
+    sep[norm_cls] = _norm_params(state_dict, "separator.norm1d")
+    sep["bottleneck_conv1d"] = _dense_params(state_dict, "separator.bottleneck_conv1d")
+    sep["prelu"] = {"alpha": _np(state_dict["separator.prelu.weight"]).reshape(())}
+    sep["mask_conv1d"] = _dense_params(state_dict, "separator.mask_conv1d")
+
+    tdcn: Dict = {}
+    for r in range(num_blocks):
+        block: Dict = {}
+        for x in range(num_layers):
+            ref = f"separator.tdcn.net.{r}.net.{x}"
+            layer: Dict = {}
+            layer["bottleneck_conv1d"] = _dense_params(state_dict, f"{ref}.bottleneck_conv1d")
+            layer["nonlinear1d"] = {"alpha": _np(state_dict[f"{ref}.nonlinear1d.weight"]).reshape(())}
+            layer[norm_cls] = _norm_params(state_dict, f"{ref}.norm1d")
+            sc = f"{ref}.separable_conv1d"
+            sep_conv: Dict = {
+                "depthwise_conv1d": {
+                    "kernel": depthwise_conv1d_weight(state_dict[f"{sc}.depthwise_conv1d.weight"]),
+                    "bias": _np(state_dict[f"{sc}.depthwise_conv1d.bias"]),
+                },
+                "nonlinear1d": {"alpha": _np(state_dict[f"{sc}.nonlinear1d.weight"]).reshape(())},
+                norm_cls: _norm_params(state_dict, f"{sc}.norm1d"),
+                "skip_pointwise_conv1d": _dense_params(state_dict, f"{sc}.skip_pointwise_conv1d"),
+            }
+            if f"{sc}.output_pointwise_conv1d.weight" in state_dict:
+                sep_conv["output_pointwise_conv1d"] = _dense_params(state_dict, f"{sc}.output_pointwise_conv1d")
+            layer["separable_conv1d"] = sep_conv
+            block[f"layer{x}"] = layer
+        tdcn[f"block{r}"] = block
+    sep["tdcn"] = tdcn
+    p["separator"] = sep
+    return {"params": p}
+
+
+def build_from_torch_checkpoint(checkpoint_path: str):
+    """Load a reference .pth checkpoint (config-in-checkpoint) and return
+    (model, params). Requires torch for deserialization."""
+    import torch
+
+    from ..models import ConvTasNet
+
+    blob = torch.load(checkpoint_path, map_location="cpu")
+    config = {k: v for k, v in blob.items() if k not in ("state_dict", "optim_dict")}
+    state_dict = blob["state_dict"]
+
+    model = ConvTasNet(
+        n_basis=config["n_basis"], kernel_size=config["kernel_size"],
+        stride=config.get("stride"), enc_basis=config.get("enc_basis", "trainable"),
+        dec_basis=config.get("dec_basis", "trainable"),
+        enc_nonlinear=config.get("enc_nonlinear"),
+        sep_hidden_channels=config.get("sep_hidden_channels", 256),
+        sep_bottleneck_channels=config.get("sep_bottleneck_channels", 128),
+        sep_skip_channels=config.get("sep_skip_channels", 128),
+        sep_kernel_size=config.get("sep_kernel_size", 3),
+        sep_num_blocks=config.get("sep_num_blocks", 3),
+        sep_num_layers=config.get("sep_num_layers", 8),
+        dilated=config.get("dilated", True), separable=config.get("separable", True),
+        sep_nonlinear=config.get("sep_nonlinear", "prelu"),
+        sep_norm=config.get("sep_norm", True),
+        mask_nonlinear=config.get("mask_nonlinear", "sigmoid"),
+        causal=config.get("causal", False), n_sources=config.get("n_sources", 2),
+    )
+    params = convert_conv_tasnet(state_dict, config)
+    return model, params

@@ -25,9 +25,19 @@ EPS = 1e-12
 
 
 def frame_signal(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
-    """(..., T) -> (..., T', frame_length), T' = (T - L)//hop + 1."""
+    """(..., T) -> (..., T', frame_length), T' = (T - L)//hop + 1.
+
+    TPU note: when hop divides frame_length the framing is a pure
+    reshape+slice+concat (ratio static small loop) -- gathers are slow on
+    TPU, and every TasNet recipe satisfies L % hop == 0.
+    """
     T = x.shape[-1]
     n_frames = (T - frame_length) // hop + 1
+    if frame_length % hop == 0 and T % hop == 0:
+        ratio = frame_length // hop
+        blocks = x.reshape(*x.shape[:-1], T // hop, hop)
+        parts = [blocks[..., k : k + n_frames, :] for k in range(ratio)]
+        return jnp.concatenate(parts, axis=-1)
     idx = np.arange(n_frames)[:, None] * hop + np.arange(frame_length)[None, :]
     return x[..., idx]
 

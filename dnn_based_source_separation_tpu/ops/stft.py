@@ -21,9 +21,18 @@ import numpy as np
 
 
 def _frame(x: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndarray:
-    """(..., T) -> (..., n_frames, frame_length) by static gather."""
+    """(..., T) -> (..., n_frames, frame_length).
+
+    Reshape+slice+concat when hop divides the frame (TPU gathers are slow);
+    static gather fallback otherwise.
+    """
     T = x.shape[-1]
     n_frames = (T - frame_length) // hop_length + 1
+    if frame_length % hop_length == 0 and T % hop_length == 0:
+        ratio = frame_length // hop_length
+        blocks = x.reshape(*x.shape[:-1], T // hop_length, hop_length)
+        parts = [blocks[..., k : k + n_frames, :] for k in range(ratio)]
+        return jnp.concatenate(parts, axis=-1)
     idx = (np.arange(n_frames)[:, None] * hop_length + np.arange(frame_length)[None, :])
     return x[..., idx]
 

@@ -1,0 +1,149 @@
+"""Hub conversion tests: torch layer weights -> flax params parity."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import torch
+
+from dnn_based_source_separation_tpu.hub import (
+    conv1d_weight,
+    conv_transpose1d_weight,
+    dense_weight,
+    depthwise_conv1d_weight,
+    lstm_params,
+)
+from dnn_based_source_separation_tpu.hub.torch_convert import encoder_conv1d_weight
+from dnn_based_source_separation_tpu.ops.filterbank import ConvDecoder, ConvEncoder
+from dnn_based_source_separation_tpu.ops.rnn import LSTM
+
+import flax.linen as nn
+
+
+def test_encoder_conv1d_parity():
+    """torch Conv1d(stride=8, k=16, no bias) == frame+matmul ConvEncoder."""
+    torch.manual_seed(0)
+    N, L, S, T = 12, 16, 8, 160
+    tconv = torch.nn.Conv1d(1, N, kernel_size=L, stride=S, bias=False)
+    x = torch.randn(2, 1, T)
+    expected = tconv(x).detach().numpy()  # (B, N, T')
+
+    enc = ConvEncoder(N, L, S, in_channels=1)
+    params = {"params": {"kernel": jnp.asarray(encoder_conv1d_weight(tconv.weight))}}
+    ours = enc.apply(params, jnp.asarray(x.numpy().transpose(0, 2, 1)))
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 2, 1), expected, atol=1e-5)
+
+
+def test_decoder_conv_transpose1d_parity():
+    torch.manual_seed(1)
+    N, L, S, Tp = 12, 16, 8, 30
+    tconv = torch.nn.ConvTranspose1d(N, 1, kernel_size=L, stride=S, bias=False)
+    w = torch.randn(2, N, Tp)
+    expected = tconv(w).detach().numpy()  # (B, 1, T)
+
+    dec = ConvDecoder(N, L, S, out_channels=1)
+    params = {"params": {"kernel": jnp.asarray(conv_transpose1d_weight(tconv.weight))}}
+    ours = dec.apply(params, jnp.asarray(w.numpy().transpose(0, 2, 1)))
+    np.testing.assert_allclose(np.asarray(ours)[..., 0], expected[:, 0], atol=1e-5)
+
+
+def test_depthwise_conv_parity():
+    torch.manual_seed(2)
+    C, k, T = 8, 3, 50
+    tconv = torch.nn.Conv1d(C, C, kernel_size=k, groups=C)
+    x = torch.randn(2, C, T)
+    expected = tconv(x).detach().numpy()
+
+    conv = nn.Conv(features=C, kernel_size=(k,), feature_group_count=C, padding="VALID")
+    params = {"params": {
+        "kernel": jnp.asarray(depthwise_conv1d_weight(tconv.weight)),
+        "bias": jnp.asarray(tconv.bias.detach().numpy()),
+    }}
+    ours = conv.apply(params, jnp.asarray(x.numpy().transpose(0, 2, 1)))
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 2, 1), expected, atol=1e-5)
+
+
+def test_dense_and_conv1x1_parity():
+    torch.manual_seed(3)
+    lin = torch.nn.Linear(6, 4)
+    x = torch.randn(5, 6)
+    expected = lin(x).detach().numpy()
+    dense = nn.Dense(4)
+    params = {"params": {"kernel": jnp.asarray(dense_weight(lin.weight)),
+                         "bias": jnp.asarray(lin.bias.detach().numpy())}}
+    ours = dense.apply(params, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(ours), expected, atol=1e-5)
+
+
+def test_lstm_state_dict_conversion():
+    torch.manual_seed(4)
+    F, H, T = 5, 7, 11
+    ref = torch.nn.LSTM(F, H, batch_first=True, bidirectional=True)
+    x = torch.randn(3, T, F)
+    expected, _ = ref(x)
+
+    params = lstm_params(dict(ref.state_dict()), prefix="", num_layers=1, bidirectional=True)
+    # prefix "" leaves a leading dot; rebuild with cleaned keys
+    params = {k: v for k, v in params.items()}
+    model = LSTM(hidden_size=H, bidirectional=True)
+    ours = model.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)}, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(ours), expected.detach().numpy(), atol=1e-5)
+
+
+def test_full_conv_tasnet_conversion_structure():
+    """Converted torch state_dict must drop into ConvTasNet.apply cleanly."""
+    from dnn_based_source_separation_tpu.hub import convert_conv_tasnet
+    from dnn_based_source_separation_tpu.models import ConvTasNet
+
+    torch.manual_seed(5)
+    config = dict(
+        n_basis=16, kernel_size=8, stride=4, sep_hidden_channels=16,
+        sep_bottleneck_channels=8, sep_skip_channels=8, sep_num_blocks=2,
+        sep_num_layers=2, causal=False, n_sources=2,
+    )
+    model = ConvTasNet(enc_basis="trainable", dec_basis="trainable", enc_nonlinear="relu", **config)
+    x = jnp.zeros((1, 1, 160))
+    ref_params = model.init(jax.random.PRNGKey(0), x)
+
+    # Build a synthetic torch state_dict with reference names and matching shapes.
+    sd = {}
+    sd["encoder.conv1d.weight"] = torch.randn(16, 1, 8)
+    sd["decoder.conv_transpose1d.weight"] = torch.randn(16, 1, 8)
+    sd["separator.norm1d.gamma"] = torch.randn(1, 16, 1)
+    sd["separator.norm1d.beta"] = torch.randn(1, 16, 1)
+    sd["separator.bottleneck_conv1d.weight"] = torch.randn(8, 16, 1)
+    sd["separator.bottleneck_conv1d.bias"] = torch.randn(8)
+    sd["separator.prelu.weight"] = torch.randn(1)
+    sd["separator.mask_conv1d.weight"] = torch.randn(2 * 16, 8, 1)
+    sd["separator.mask_conv1d.bias"] = torch.randn(2 * 16)
+    for r in range(2):
+        for l in range(2):
+            ref = f"separator.tdcn.net.{r}.net.{l}"
+            sd[f"{ref}.bottleneck_conv1d.weight"] = torch.randn(16, 8, 1)
+            sd[f"{ref}.bottleneck_conv1d.bias"] = torch.randn(16)
+            sd[f"{ref}.nonlinear1d.weight"] = torch.randn(1)
+            sd[f"{ref}.norm1d.gamma"] = torch.randn(1, 16, 1)
+            sd[f"{ref}.norm1d.beta"] = torch.randn(1, 16, 1)
+            sc = f"{ref}.separable_conv1d"
+            sd[f"{sc}.depthwise_conv1d.weight"] = torch.randn(16, 1, 3)
+            sd[f"{sc}.depthwise_conv1d.bias"] = torch.randn(16)
+            sd[f"{sc}.nonlinear1d.weight"] = torch.randn(1)
+            sd[f"{sc}.norm1d.gamma"] = torch.randn(1, 16, 1)
+            sd[f"{sc}.norm1d.beta"] = torch.randn(1, 16, 1)
+            last = r == 1 and l == 1
+            if not last:
+                sd[f"{sc}.output_pointwise_conv1d.weight"] = torch.randn(8, 16, 1)
+                sd[f"{sc}.output_pointwise_conv1d.bias"] = torch.randn(8)
+            sd[f"{sc}.skip_pointwise_conv1d.weight"] = torch.randn(8, 16, 1)
+            sd[f"{sc}.skip_pointwise_conv1d.bias"] = torch.randn(8)
+
+    converted = convert_conv_tasnet(sd, config)
+
+    # Tree structures must match exactly (same leaves, same shapes).
+    ref_flat = jax.tree_util.tree_leaves_with_path(ref_params)
+    conv_flat = jax.tree_util.tree_leaves_with_path(jax.tree_util.tree_map(jnp.asarray, converted))
+    ref_map = {jax.tree_util.keystr(k): v.shape for k, v in ref_flat}
+    conv_map = {jax.tree_util.keystr(k): np.asarray(v).shape for k, v in conv_flat}
+    assert ref_map == conv_map
+
+    y = model.apply(jax.tree_util.tree_map(jnp.asarray, converted), x)
+    assert y.shape == (1, 2, 160)

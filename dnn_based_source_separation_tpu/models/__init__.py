@@ -20,3 +20,10 @@ from .wavenet import WaveNet
 from .mrx import MultiResolutionCrossNet
 from .unet import UNet1d, UNet2d
 from .cunet import ConditionedUNet2d, ControlDenseNet, ControlConvNet
+from .hrnet import HRNet
+from .wavesplit import WaveSplit, speaker_distance_loss
+from .meta_tasnet import MetaTasNet
+from .furcanet import FurcaNet
+from .lasaft import LaSAFT, TFCLaSAFT, TDF2d, TFC2d
+from .vision import MLPMixer, PoolFormer, ViT
+from .film import film, pocm, gpocm

@@ -1,0 +1,109 @@
+"""wsj0-mix training CLI (Conv-TasNet / DPRNN-TasNet / SepFormer / ...).
+
+Capability parity: the reference's per-recipe `local/train.py` argparse
+entry points (`egs/wsj0-mix/conv-tasnet/local/train.py:16-129`): same flag
+names for model hyperparameters, optimizer choice, seeding, resume.
+
+TPU additions: --n_devices shards the batch over a jax.sharding.Mesh data
+axis (replacing nn.DataParallel, reference local/train.py:95).
+
+Usage (see egs/wsj0-mix/<model>/train.sh):
+  python -m dnn_based_source_separation_tpu.cli.train_wsj0mix \
+      --model conv-tasnet --train_wav_root ... --train_list_path ... ...
+"""
+from __future__ import annotations
+
+import argparse
+
+from ..criterion import NegSISDR, PIT1d
+from ..data import DataLoader, WaveEvalDataset, WaveTrainDataset
+from ..parallel import make_mesh
+from ..train import Trainer, TrainerConfig, make_optimizer
+from ..utils import set_seed
+from .model_factory import build_wsj0mix_model
+
+
+def build_parser():
+    p = argparse.ArgumentParser("train_wsj0mix")
+    # data
+    p.add_argument("--train_wav_root", type=str, required=True)
+    p.add_argument("--train_list_path", type=str, required=True)
+    p.add_argument("--valid_wav_root", type=str, required=True)
+    p.add_argument("--valid_list_path", type=str, required=True)
+    p.add_argument("--sample_rate", type=int, default=8000)
+    p.add_argument("--duration", type=float, default=4.0)
+    p.add_argument("--valid_duration", type=float, default=8.0)
+    p.add_argument("--n_sources", type=int, default=2)
+    # model
+    p.add_argument("--model", type=str, default="conv-tasnet")
+    p.add_argument("--n_basis", "-N", type=int, default=512)
+    p.add_argument("--kernel_size", "-L", type=int, default=16)
+    p.add_argument("--stride", type=int, default=None)
+    p.add_argument("--enc_basis", type=str, default="trainable")
+    p.add_argument("--dec_basis", type=str, default="trainable")
+    p.add_argument("--enc_nonlinear", type=str, default="relu")
+    p.add_argument("--sep_hidden_channels", "-H", type=int, default=512)
+    p.add_argument("--sep_bottleneck_channels", "-B", type=int, default=128)
+    p.add_argument("--sep_skip_channels", "-Sc", type=int, default=128)
+    p.add_argument("--sep_kernel_size", "-P", type=int, default=3)
+    p.add_argument("--sep_num_blocks", "-R", type=int, default=3)
+    p.add_argument("--sep_num_layers", "-X", type=int, default=8)
+    p.add_argument("--sep_chunk_size", "-K", type=int, default=100)
+    p.add_argument("--sep_hop_size", type=int, default=50)
+    p.add_argument("--sep_down_chunk_size", "-Q", type=int, default=32)
+    p.add_argument("--sep_num_heads", type=int, default=4)
+    p.add_argument("--causal", type=int, default=0)
+    p.add_argument("--mask_nonlinear", type=str, default="sigmoid")
+    # optimization
+    p.add_argument("--criterion", type=str, default="sisdr")
+    p.add_argument("--optimizer", type=str, default="adam")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--max_norm", type=float, default=5.0)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--epochs", type=int, default=100)
+    # infra
+    p.add_argument("--exp_dir", type=str, default="./exp")
+    p.add_argument("--continue_from", type=str, default=None)
+    p.add_argument("--overwrite", type=int, default=0)
+    p.add_argument("--seed", type=int, default=111)
+    p.add_argument("--n_devices", type=int, default=None, help="mesh data-parallel size")
+    return p
+
+
+def main(args=None):
+    args = build_parser().parse_args(args)
+    args.causal = bool(args.causal)
+    set_seed(args.seed)
+
+    samples = int(args.duration * args.sample_rate)
+    valid_samples = int(args.valid_duration * args.sample_rate)
+    train_ds = WaveTrainDataset(args.train_wav_root, args.train_list_path,
+                                samples=samples, n_sources=args.n_sources)
+    valid_ds = WaveEvalDataset(args.valid_wav_root, args.valid_list_path,
+                               max_samples=valid_samples, n_sources=args.n_sources)
+    print(f"Training dataset includes {len(train_ds)} samples.", flush=True)
+    print(f"Valid dataset includes {len(valid_ds)} samples.", flush=True)
+
+    train_loader = DataLoader(train_ds, batch_size=args.batch_size, shuffle=True, seed=args.seed)
+    valid_loader = DataLoader(valid_ds, batch_size=1)
+
+    model = build_wsj0mix_model(args)
+
+    if args.criterion != "sisdr":
+        raise ValueError(f"Unsupported criterion: {args.criterion}")
+    criterion = PIT1d(NegSISDR(), n_sources=args.n_sources)
+    optimizer = make_optimizer(args.optimizer, args.lr, max_norm=args.max_norm)
+
+    mesh = make_mesh(args.n_devices) if args.n_devices else None
+    config = TrainerConfig(
+        epochs=args.epochs, exp_dir=args.exp_dir,
+        continue_from=args.continue_from, overwrite=bool(args.overwrite),
+        sample_rate=args.sample_rate,
+    )
+    trainer = Trainer(model, train_loader, valid_loader, criterion, optimizer, config, mesh=mesh)
+    trainer.run()
+    return trainer
+
+
+if __name__ == "__main__":
+    main()

@@ -38,7 +38,11 @@ class SeparationModelMixin:
         for f in dataclasses.fields(self):
             if f.name in ("parent", "name"):
                 continue
-            cfg[f.name] = getattr(self, f.name)
+            value = getattr(self, f.name)
+            if hasattr(value, "get_config") and dataclasses.is_dataclass(value):
+                # Nested module (e.g. SpectrogramMaskingWrapper.base).
+                value = {"__model__": type(value).__name__, "config": value.get_config()}
+            cfg[f.name] = value
         return cfg
 
     # reference parity alias (src/models/conv_tasnet.py:312)
@@ -65,10 +69,19 @@ def _to_numpy_tree(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _sanitize_config(value):
+    """msgpack-safe config: tuples -> lists, FrozenDicts -> dicts, recursively."""
+    if isinstance(value, (tuple, list)):
+        return [_sanitize_config(v) for v in value]
+    if hasattr(value, "items"):
+        return {k: _sanitize_config(v) for k, v in value.items()}
+    return value
+
+
 def save_model(path: str, model, params, extra: Dict[str, Any] | None = None):
     blob = {
         "model_class": type(model).__name__,
-        "config": model.get_config(),
+        "config": _sanitize_config(model.get_config()),
         "params": flax.serialization.to_state_dict(_to_numpy_tree(params)),
         "extra": extra or {},
     }
@@ -78,11 +91,21 @@ def save_model(path: str, model, params, extra: Dict[str, Any] | None = None):
         f.write(data)
 
 
+def _rebuild_config(config):
+    out = {}
+    for k, v in config.items():
+        if isinstance(v, dict) and "__model__" in v:
+            sub_cls = get_model_class(v["__model__"])
+            out[k] = sub_cls(**_rebuild_config(v["config"]))
+        else:
+            out[k] = v
+    return out
+
+
 def load_model(path: str) -> Tuple[Any, Any, Dict[str, Any]]:
     with open(path, "rb") as f:
         blob = flax.serialization.msgpack_restore(f.read())
     cls = get_model_class(blob["model_class"])
-    config = blob["config"]
-    model = cls(**config)
+    model = cls(**_rebuild_config(blob["config"]))
     params = jax.tree_util.tree_map(jnp.asarray, blob["params"])
     return model, params, blob.get("extra", {})

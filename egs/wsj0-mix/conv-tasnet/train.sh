@@ -1,0 +1,18 @@
+#!/bin/bash
+# wsj0-mix / conv-tasnet training recipe (TPU).
+# Mirrors the reference recipe flags (egs/wsj0-mix/conv-tasnet/train.sh); extra
+# flags pass straight through to the CLI (Kaldi-style --flag value).
+
+wav_root_train="${wav_root_train:-../../../dataset/wsj0-mix/2speakers/wav8k/min/tr}"
+wav_root_valid="${wav_root_valid:-../../../dataset/wsj0-mix/2speakers/wav8k/min/cv}"
+list_train="${list_train:-../../../dataset/wsj0-mix/2speakers/mix_2_spk_min_tr_mix}"
+list_valid="${list_valid:-../../../dataset/wsj0-mix/2speakers/mix_2_spk_min_cv_mix}"
+exp_dir="${exp_dir:-./exp}"
+
+python -m dnn_based_source_separation_tpu.cli.train_wsj0mix \
+    --model conv-tasnet \
+    --train_wav_root "$wav_root_train" --train_list_path "$list_train" \
+    --valid_wav_root "$wav_root_valid" --valid_list_path "$list_valid" \
+    --exp_dir "$exp_dir" \
+    -N 512 -L 16 -H 512 -B 128 -Sc 128 -P 3 -R 3 -X 8 --enc_nonlinear relu --batch_size 4 --lr 1e-3 \
+    "$@" | tee -a "$exp_dir/train.log"

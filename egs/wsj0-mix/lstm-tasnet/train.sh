@@ -1,0 +1,18 @@
+#!/bin/bash
+# wsj0-mix / lstm-tasnet training recipe (TPU).
+# Mirrors the reference recipe flags (egs/wsj0-mix/lstm-tasnet/train.sh); extra
+# flags pass straight through to the CLI (Kaldi-style --flag value).
+
+wav_root_train="${wav_root_train:-../../../dataset/wsj0-mix/2speakers/wav8k/min/tr}"
+wav_root_valid="${wav_root_valid:-../../../dataset/wsj0-mix/2speakers/wav8k/min/cv}"
+list_train="${list_train:-../../../dataset/wsj0-mix/2speakers/mix_2_spk_min_tr_mix}"
+list_valid="${list_valid:-../../../dataset/wsj0-mix/2speakers/mix_2_spk_min_cv_mix}"
+exp_dir="${exp_dir:-./exp}"
+
+python -m dnn_based_source_separation_tpu.cli.train_wsj0mix \
+    --model lstm-tasnet \
+    --train_wav_root "$wav_root_train" --train_list_path "$list_train" \
+    --valid_wav_root "$wav_root_valid" --valid_list_path "$list_valid" \
+    --exp_dir "$exp_dir" \
+    -N 500 -L 40 --enc_basis trainableGated --sep_num_blocks 2 --sep_num_layers 2 --sep_hidden_channels 500 --mask_nonlinear softmax \
+    "$@" | tee -a "$exp_dir/train.log"

@@ -1,0 +1,93 @@
+"""End-to-end recipe CLI smoke tests on synthetic corpora."""
+import os
+
+import numpy as np
+import pytest
+
+from dnn_based_source_separation_tpu.data.audio_io import write_wav
+
+
+@pytest.fixture()
+def wsj0_corpus(tmp_path):
+    rng = np.random.default_rng(0)
+    for split in ("tr", "cv", "tt"):
+        root = tmp_path / split
+        for sub in ("mix", "s1", "s2"):
+            os.makedirs(root / sub)
+        utts = []
+        for i in range(2):
+            T = 4000
+            s1 = 0.1 * rng.standard_normal(T)
+            s2 = 0.1 * rng.standard_normal(T)
+            utt = f"{split}_utt{i}"
+            write_wav(str(root / "s1" / f"{utt}.wav"), s1, 8000)
+            write_wav(str(root / "s2" / f"{utt}.wav"), s2, 8000)
+            write_wav(str(root / "mix" / f"{utt}.wav"), s1 + s2, 8000)
+            utts.append(utt)
+        (tmp_path / f"{split}.lst").write_text("\n".join(utts))
+    return tmp_path
+
+
+def test_train_and_test_wsj0mix_cli(wsj0_corpus, tmp_path):
+    from dnn_based_source_separation_tpu.cli import test_wsj0mix, train_wsj0mix
+
+    exp = str(tmp_path / "exp")
+    train_wsj0mix.main([
+        "--train_wav_root", str(wsj0_corpus / "tr"),
+        "--train_list_path", str(wsj0_corpus / "tr.lst"),
+        "--valid_wav_root", str(wsj0_corpus / "cv"),
+        "--valid_list_path", str(wsj0_corpus / "cv.lst"),
+        "--model", "conv-tasnet",
+        "-N", "16", "-L", "8", "-H", "16", "-B", "8", "-Sc", "8",
+        "-R", "1", "-X", "2",
+        "--duration", "0.25", "--valid_duration", "0.5",
+        "--batch_size", "2", "--epochs", "1", "--exp_dir", exp,
+    ])
+    assert os.path.exists(os.path.join(exp, "model", "last.ckpt"))
+
+    summary = test_wsj0mix.main([
+        "--test_wav_root", str(wsj0_corpus / "tt"),
+        "--test_list_path", str(wsj0_corpus / "tt.lst"),
+        "--model_path", os.path.join(exp, "model", "last.ckpt"),
+        "--filt_len", "16",
+    ])
+    assert np.isfinite(summary["loss"])
+
+
+@pytest.fixture()
+def musdb_corpus(tmp_path):
+    rng = np.random.default_rng(1)
+    names = ["trackA", "trackB"]
+    sr = 4000
+    for name in names:
+        d = tmp_path / "train" / name
+        os.makedirs(d)
+        stems = {}
+        for s in ("bass", "drums", "other", "vocals"):
+            x = 0.05 * rng.standard_normal((sr, 2))  # stereo
+            stems[s] = x
+            write_wav(str(d / f"{s}.wav"), x, sr)
+        write_wav(str(d / "mixture.wav"), sum(stems.values()), sr)
+    (tmp_path / "train.txt").write_text("\n".join(names))
+    (tmp_path / "validation.txt").write_text("trackB")
+    return tmp_path, sr
+
+
+@pytest.mark.parametrize("model", ["umx", "xumx"])
+def test_train_musdb18_cli(musdb_corpus, tmp_path, model):
+    from dnn_based_source_separation_tpu.cli import train_musdb18
+
+    root, sr = musdb_corpus
+    exp = str(tmp_path / f"exp_{model}")
+    trainer = train_musdb18.main([
+        "--musdb18_root", str(root),
+        "--sample_rate", str(sr),
+        "--duration", "0.25", "--valid_duration", "0.25",
+        "--samples_per_epoch", "4",
+        "--model", model,
+        "--n_fft", "64", "--hop_length", "32",
+        "--hidden_channels", "16", "--num_layers", "1", "--max_bin", "20",
+        "--batch_size", "2", "--epochs", "1", "--exp_dir", exp,
+    ])
+    assert os.path.exists(os.path.join(exp, "model", "last.ckpt"))
+    assert np.isfinite(trainer.train_loss[0])

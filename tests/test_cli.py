@@ -91,3 +91,43 @@ def test_train_musdb18_cli(musdb_corpus, tmp_path, model):
     ])
     assert os.path.exists(os.path.join(exp, "model", "last.ckpt"))
     assert np.isfinite(trainer.train_loss[0])
+
+
+def test_musdb18_full_pipeline_with_eval(musdb_corpus, tmp_path):
+    """Train 1 epoch, then run chunked inference + Wiener + median SDR."""
+    import os
+
+    from dnn_based_source_separation_tpu.cli import test_musdb18, train_musdb18
+    from dnn_based_source_separation_tpu.data.audio_io import write_wav
+
+    root, sr = musdb_corpus
+    # Add a test split.
+    rng = np.random.default_rng(9)
+    d = root / "test" / "trackT"
+    os.makedirs(d)
+    stems = {}
+    for s in ("bass", "drums", "other", "vocals"):
+        x = 0.05 * rng.standard_normal((sr, 2))
+        stems[s] = x
+        write_wav(str(d / f"{s}.wav"), x, sr)
+    write_wav(str(d / "mixture.wav"), sum(stems.values()), sr)
+    (root / "test.txt").write_text("trackT")
+
+    exp = str(tmp_path / "exp_eval")
+    train_musdb18.main([
+        "--musdb18_root", str(root), "--sample_rate", str(sr),
+        "--duration", "0.25", "--valid_duration", "0.25",
+        "--samples_per_epoch", "2", "--model", "umx",
+        "--n_fft", "64", "--hop_length", "32",
+        "--hidden_channels", "16", "--num_layers", "1", "--max_bin", "20",
+        "--batch_size", "2", "--epochs", "1", "--exp_dir", exp,
+    ])
+    table = test_musdb18.main([
+        "--musdb18_root", str(root),
+        "--model_path", os.path.join(exp, "model", "last.ckpt"),
+        "--sample_rate", str(sr),
+        "--duration", "0.5", "--win", "0.25", "--filt_len", "8",
+        "--out_dir", str(tmp_path / "est"),
+    ])
+    assert set(table) == {"bass", "drums", "other", "vocals"}
+    assert all(np.isfinite(v) for v in table.values())

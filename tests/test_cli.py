@@ -131,3 +131,17 @@ def test_musdb18_full_pipeline_with_eval(musdb_corpus, tmp_path):
     ])
     assert set(table) == {"bass", "drums", "other", "vocals"}
     assert all(np.isfinite(v) for v in table.values())
+
+
+def test_oracle_masks_cli(wsj0_corpus):
+    """IBM/IRM oracles must give positive SI-SDR improvement."""
+    from dnn_based_source_separation_tpu.cli import test_oracle_masks
+
+    for mask in ("ibm", "irm"):
+        imp = test_oracle_masks.main([
+            "--test_wav_root", str(wsj0_corpus / "tt"),
+            "--test_list_path", str(wsj0_corpus / "tt.lst"),
+            "--n_fft", "64", "--hop_length", "16",
+            "--mask", mask,
+        ])
+        assert imp > 3.0, f"oracle {mask} should improve SI-SDR, got {imp}"

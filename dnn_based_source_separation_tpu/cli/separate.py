@@ -1,0 +1,60 @@
+"""Separate a WAV file with a trained checkpoint (file-based demo).
+
+Counterpart of the reference's pyaudio mic demo
+(`egs/wsj0-mix/conv-tasnet/local/demo.py:26-60`) without the audio-device
+dependency: read a mixture WAV, run the model, write per-source WAVs.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.audio_io import read_wav, write_wav
+from ..models.base import load_model
+
+
+def build_parser():
+    p = argparse.ArgumentParser("separate")
+    p.add_argument("--model_path", type=str, required=True)
+    p.add_argument("--input", type=str, required=True, help="mixture wav")
+    p.add_argument("--out_dir", type=str, required=True)
+    p.add_argument("--sample_rate", type=int, default=8000)
+    p.add_argument("--chunk_duration", type=float, default=None,
+                   help="optional fixed chunking for long inputs (one compile)")
+    return p
+
+
+def main(args=None):
+    args = build_parser().parse_args(args)
+    model, params, _ = load_model(args.model_path)
+    x, sr = read_wav(args.input)
+    if x.ndim > 1:
+        x = x.mean(axis=1)
+    T = x.shape[0]
+    forward = jax.jit(model.apply)
+
+    if args.chunk_duration:
+        chunk = int(args.chunk_duration * sr)
+        n_chunks = -(-T // chunk)
+        xp = np.pad(x, (0, n_chunks * chunk - T))
+        outs = []
+        for i in range(n_chunks):
+            seg = jnp.asarray(xp[None, None, i * chunk : (i + 1) * chunk])
+            outs.append(np.asarray(forward(params, seg)[0]))
+        est = np.concatenate(outs, axis=-1)[:, :T]
+    else:
+        est = np.asarray(forward(params, jnp.asarray(x[None, None]))[0])
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    for s in range(est.shape[0]):
+        sig = est[s] / (np.abs(est[s]).max() + 1e-9)
+        write_wav(os.path.join(args.out_dir, f"source{s}.wav"), sig, sr)
+    print(f"wrote {est.shape[0]} sources to {args.out_dir}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

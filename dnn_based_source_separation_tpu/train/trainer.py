@@ -44,6 +44,7 @@ class TrainerConfig:
     save_valid_wavs: int = 5
     sample_rate: int = 8000
     log_interval: int = 100
+    profile_dir: Optional[str] = None  # jax.profiler trace of epoch 0
 
 
 class Trainer:
@@ -147,6 +148,11 @@ class Trainer:
 
     def run_one_epoch_train(self, epoch: int) -> float:
         cfg = self.config
+        profiling = cfg.profile_dir and epoch == self.start_epoch
+        if profiling:
+            import jax.profiler
+
+            jax.profiler.start_trace(cfg.profile_dir)
         total, n_batches = 0.0, 0
         for idx, (mixture, sources) in enumerate(self.train_loader):
             batch = (jnp.asarray(mixture), jnp.asarray(sources))
@@ -163,6 +169,15 @@ class Trainer:
                     f"loss: {total / n_batches:.5f}",
                     flush=True,
                 )
+            if profiling and idx >= 2:  # a few steps are enough for a trace
+                import jax.profiler
+
+                jax.profiler.stop_trace()
+                profiling = False
+        if profiling:
+            import jax.profiler
+
+            jax.profiler.stop_trace()
         return total / max(n_batches, 1)
 
     def run_one_epoch_eval(self, epoch: int) -> float:

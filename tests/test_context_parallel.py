@@ -1,0 +1,37 @@
+"""Sequence-parallel overlap-add: sharded result must equal the local fold."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dnn_based_source_separation_tpu.ops.segment import overlap_add
+from dnn_based_source_separation_tpu.parallel import make_mesh
+from dnn_based_source_separation_tpu.parallel.context import sharded_overlap_add
+
+
+def test_sharded_overlap_add_matches_local():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(8)
+    B, S, K, N = 2, 16, 20, 4  # hop 10, 2 chunks per device
+    hop = 10
+    rng = np.random.default_rng(0)
+    chunks = jnp.asarray(rng.standard_normal((B, S, K, N)), jnp.float32)
+
+    local = overlap_add(chunks, hop)  # (B, (S-1)*hop + K, N)
+    sharded = sharded_overlap_add(chunks, hop, mesh)
+
+    # Sharded output covers the first S*hop samples (tail truncated).
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(local[:, : S * hop]), atol=1e-5
+    )
+
+
+def test_sharded_overlap_add_under_jit():
+    mesh = make_mesh(8)
+    B, S, K, N = 1, 8, 8, 2
+    hop = 4
+    rng = np.random.default_rng(1)
+    chunks = jnp.asarray(rng.standard_normal((B, S, K, N)), jnp.float32)
+    f = jax.jit(lambda c: sharded_overlap_add(c, hop, mesh))
+    out = f(chunks)
+    ref = overlap_add(chunks, hop)[:, : S * hop]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

@@ -28,26 +28,26 @@ def main():
     model = _flagship()
     T = int(SAMPLE_RATE * SECONDS)
     rng = np.random.default_rng(0)
-    inputs = [
-        jnp.asarray(rng.standard_normal((BATCH, 1, T)), jnp.float32)
-        for _ in range(WARMUP + ITERS)
-    ]
-    params = model.init(jax.random.PRNGKey(0), inputs[0])
+    xs = jnp.asarray(rng.standard_normal((ITERS, BATCH, 1, T)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), xs[0])
 
-    # Reduce to a scalar fetched to host each iteration: on remote-tunneled
-    # backends block_until_ready can return at dispatch-ack, so a host
-    # transfer is the only reliable execution barrier.
-    fwd = jax.jit(lambda p, x: jnp.sum(model.apply(p, x)))
-    for i in range(WARMUP):
-        float(fwd(params, inputs[i]))
+    # ITERS forwards chained in one lax.scan and reduced to one scalar: a
+    # single host fetch is the execution barrier, so the tunnel's fixed
+    # per-call latency (~25 ms on remote backends) amortizes to nothing.
+    def step(carry, x):
+        return carry + jnp.sum(model.apply(params, x)), None
+
+    many = jax.jit(lambda p, xs: jax.lax.scan(step, jnp.float32(0.0), xs)[0])
+    for _ in range(WARMUP):
+        float(many(params, xs))
 
     times = []
-    for i in range(ITERS):
+    for _ in range(5):
         start = time.perf_counter()
-        float(fwd(params, inputs[WARMUP + i]))
+        float(many(params, xs))
         times.append(time.perf_counter() - start)
 
-    per_batch = float(np.median(times))
+    per_batch = float(np.median(times)) / ITERS
     rtf = BATCH * SECONDS / per_batch
     print(json.dumps({
         "metric": "conv_tasnet_wsj0mix_inference_rtf",

@@ -75,7 +75,7 @@ class ConvEncoder(nn.Module):
         frames = frame_signal(jnp.moveaxis(x, -1, -2), self.kernel_size, self.stride)
         # (B, C, T', L) -> (B, T', C*L)
         frames = jnp.moveaxis(frames, 1, 2).reshape(B, -1, C * self.kernel_size)
-        y = jnp.dot(frames, self.kernel, preferred_element_type=jnp.float32)
+        y = jnp.dot(frames, self.kernel, preferred_element_type=None)
         if self.nonlinear == "relu":
             y = nn.relu(y)
         elif self.nonlinear is not None:
@@ -93,7 +93,7 @@ class ConvEncoder(nn.Module):
         duplicate = self.kernel_size // self.stride
         # Analysis operator A = kernel.T (N, L); synthesis frames use pinv(A).
         pinv = jnp.linalg.pinv(self.kernel.T) / duplicate  # (L, N)
-        frames = jnp.dot(w_hat, pinv.T, preferred_element_type=jnp.float32)
+        frames = jnp.dot(w_hat, pinv.T, preferred_element_type=None)
         y = unfold_apply(frames, self.stride)
         return y[..., None]
 
@@ -117,7 +117,7 @@ class ConvDecoder(nn.Module):
             nn.initializers.lecun_normal(),
             (N, self.out_channels * self.kernel_size),
         )
-        frames = jnp.dot(w_hat, wk, preferred_element_type=jnp.float32)
+        frames = jnp.dot(w_hat, wk, preferred_element_type=None)
         frames = frames.reshape(*lead, S, self.out_channels, self.kernel_size)
         frames = jnp.moveaxis(frames, -2, -3)  # (..., C_out, S, L)
         y = unfold_apply(frames, self.stride)  # (..., C_out, T)
@@ -180,8 +180,8 @@ class FourierEncoder(nn.Module):
         real, imag = window * real, window * imag
 
         frames = frame_signal(x[..., 0], self.kernel_size, self.stride)  # (B, T', L)
-        out_r = jnp.dot(frames, real.T, preferred_element_type=jnp.float32)
-        out_i = jnp.dot(frames, imag.T, preferred_element_type=jnp.float32)
+        out_r = jnp.dot(frames, real.T, preferred_element_type=None)
+        out_i = jnp.dot(frames, imag.T, preferred_element_type=None)
         if self.return_complex:
             return out_r + 1j * out_i
         return jnp.concatenate([out_r, out_i], axis=-1)
@@ -225,8 +225,8 @@ class FourierDecoder(nn.Module):
 
         # conv_transpose == per-frame synthesis matmul + overlap-add fold.
         frames = (
-            jnp.dot(wr, real, preferred_element_type=jnp.float32)
-            - jnp.dot(wi, imag, preferred_element_type=jnp.float32)
+            jnp.dot(wr, real, preferred_element_type=None)
+            - jnp.dot(wi, imag, preferred_element_type=None)
         )  # (..., T', L)
         y = unfold_apply(frames, self.stride)
         return y[..., None]  # (..., T, 1)
@@ -251,8 +251,8 @@ class GatedEncoder(nn.Module):
         frames = jnp.moveaxis(frames, 1, 2).reshape(B, -1, C * self.kernel_size)
         wU = self.param("kernel_U", nn.initializers.lecun_normal(), (C * self.kernel_size, self.n_basis))
         wV = self.param("kernel_V", nn.initializers.lecun_normal(), (C * self.kernel_size, self.n_basis))
-        u = jnp.dot(frames, wU, preferred_element_type=jnp.float32)
-        v = jnp.dot(frames, wV, preferred_element_type=jnp.float32)
+        u = jnp.dot(frames, wU, preferred_element_type=None)
+        v = jnp.dot(frames, wV, preferred_element_type=None)
         return nn.relu(u) * nn.sigmoid(v)
 
 

@@ -29,7 +29,7 @@ def _lstm_scan(xw: jnp.ndarray, w_hh: jnp.ndarray, hidden_size: int):
 
     def step(carry, xt):
         h, c = carry
-        gates = xt + jnp.dot(h, w_hh, preferred_element_type=jnp.float32)
+        gates = xt + jnp.dot(h, w_hh, preferred_element_type=None)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         c = nn.sigmoid(f) * c + nn.sigmoid(i) * jnp.tanh(g)
         h = nn.sigmoid(o) * jnp.tanh(c)
@@ -47,7 +47,7 @@ def _gru_scan(xw: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray, hidden_size
     xw_t = jnp.swapaxes(xw, 0, 1)
 
     def step(h, xt):
-        hw = jnp.dot(h, w_hh, preferred_element_type=jnp.float32) + b_hh
+        hw = jnp.dot(h, w_hh, preferred_element_type=None) + b_hh
         xr, xz, xn = jnp.split(xt, 3, axis=-1)
         hr, hz, hn = jnp.split(hw, 3, axis=-1)
         r = nn.sigmoid(xr + hr)
@@ -65,7 +65,7 @@ def _rnn_scan(xw: jnp.ndarray, w_hh: jnp.ndarray, hidden_size: int):
     xw_t = jnp.swapaxes(xw, 0, 1)
 
     def step(h, xt):
-        h = jnp.tanh(xt + jnp.dot(h, w_hh, preferred_element_type=jnp.float32))
+        h = jnp.tanh(xt + jnp.dot(h, w_hh, preferred_element_type=None))
         return h, h
 
     _, hs = jax.lax.scan(step, jnp.zeros((B, hidden_size), xw.dtype), xw_t)
@@ -91,7 +91,7 @@ class LSTM(nn.Module):
                 w_hh = self.param(f"w_hh{sfx}", nn.initializers.orthogonal(), (H, 4 * H))
                 b = self.param(f"b{sfx}", nn.initializers.zeros, (4 * H,))
                 xin = jnp.flip(x, axis=1) if direction else x
-                xw = jnp.dot(xin, w_ih, preferred_element_type=jnp.float32) + b
+                xw = jnp.dot(xin, w_ih, preferred_element_type=None) + b
                 hs = _lstm_scan(xw, w_hh, H)
                 outs.append(jnp.flip(hs, axis=1) if direction else hs)
             x = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
@@ -116,7 +116,7 @@ class GRU(nn.Module):
                 b_ih = self.param(f"b_ih{sfx}", nn.initializers.zeros, (3 * H,))
                 b_hh = self.param(f"b_hh{sfx}", nn.initializers.zeros, (3 * H,))
                 xin = jnp.flip(x, axis=1) if direction else x
-                xw = jnp.dot(xin, w_ih, preferred_element_type=jnp.float32) + b_ih
+                xw = jnp.dot(xin, w_ih, preferred_element_type=None) + b_ih
                 hs = _gru_scan(xw, w_hh, b_hh, H)
                 outs.append(jnp.flip(hs, axis=1) if direction else hs)
             x = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
@@ -140,7 +140,7 @@ class RNN(nn.Module):
                 w_hh = self.param(f"w_hh{sfx}", nn.initializers.orthogonal(), (H, H))
                 b = self.param(f"b{sfx}", nn.initializers.zeros, (H,))
                 xin = jnp.flip(x, axis=1) if direction else x
-                xw = jnp.dot(xin, w_ih, preferred_element_type=jnp.float32) + b
+                xw = jnp.dot(xin, w_ih, preferred_element_type=None) + b
                 hs = _rnn_scan(xw, w_hh, H)
                 outs.append(jnp.flip(hs, axis=1) if direction else hs)
             x = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]

@@ -49,3 +49,13 @@ def segment_padding(T: int, chunk_size: int, hop_size: int) -> tuple[int, int]:
     rest = (T + hop_size - chunk_size) % hop_size
     right = (hop_size - rest) % hop_size
     return hop_size, right + hop_size
+
+
+def band_split(x: jnp.ndarray, sections, axis: int = -2):
+    """Split the frequency axis into bands (reference transform.py BandSplit:67).
+
+    x channels-last (..., F, T, C) style; default axis=-2 is NOT assumed --
+    pass the bin axis explicitly for your layout.
+    """
+    indices = np.cumsum(np.asarray(sections))[:-1]
+    return jnp.split(x, indices, axis=axis)

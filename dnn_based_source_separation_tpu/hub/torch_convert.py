@@ -177,3 +177,52 @@ def build_from_torch_checkpoint(checkpoint_path: str):
     )
     params = convert_conv_tasnet(state_dict, config)
     return model, params
+
+
+def convert_dprnn_tasnet(state_dict: Mapping, config: Mapping) -> Dict:
+    """Reference DPRNNTasNet state_dict -> flax params tree.
+
+    Reference module paths (src/models/dprnn_tasnet.py): encoder.conv1d,
+    decoder.conv_transpose1d, separator.{norm1d,bottleneck_conv1d,prelu,
+    mask_conv1d} and separator.dprnn.net.{i}.{intra,inter}_chunk_block with
+    rnn + fc + norm1d inside each direction block (src/models/dprnn.py).
+    """
+    causal = bool(config.get("causal", False))
+    num_blocks = int(config.get("sep_num_blocks", 6))
+    top_norm = "CumulativeLayerNorm_0" if causal else "GlobalLayerNorm_0"
+
+    p: Dict = {}
+    p["encoder"] = {"kernel": encoder_conv1d_weight(state_dict["encoder.conv1d.weight"])}
+    p["decoder"] = {"kernel": conv_transpose1d_weight(state_dict["decoder.conv_transpose1d.weight"])}
+
+    sep: Dict = {}
+    sep[top_norm] = _norm_params(state_dict, "separator.norm1d")
+    sep["bottleneck_conv1d"] = _dense_params(state_dict, "separator.bottleneck_conv1d")
+    sep["prelu"] = {"alpha": _np(state_dict["separator.prelu.weight"]).reshape(())}
+    sep["mask_conv1d"] = _dense_params(state_dict, "separator.mask_conv1d")
+
+    dprnn: Dict = {}
+    for i in range(num_blocks):
+        ref = f"separator.dprnn.net.{i}"
+        intra: Dict = {}
+        intra["rnn"] = lstm_params(state_dict, f"{ref}.intra_chunk_block.rnn",
+                                   bidirectional=True)
+        intra["fc"] = {
+            "kernel": dense_weight(state_dict[f"{ref}.intra_chunk_block.fc.weight"]),
+            "bias": _np(state_dict[f"{ref}.intra_chunk_block.fc.bias"]),
+        }
+        intra["GlobalLayerNorm_0"] = _norm_params(state_dict, f"{ref}.intra_chunk_block.norm1d")
+
+        inter: Dict = {}
+        inter["rnn"] = lstm_params(state_dict, f"{ref}.inter_chunk_block.rnn",
+                                   bidirectional=not causal)
+        inter["fc"] = {
+            "kernel": dense_weight(state_dict[f"{ref}.inter_chunk_block.fc.weight"]),
+            "bias": _np(state_dict[f"{ref}.inter_chunk_block.fc.bias"]),
+        }
+        inter[top_norm] = _norm_params(state_dict, f"{ref}.inter_chunk_block.norm1d")
+
+        dprnn[f"block{i}"] = {"intra_chunk_block": intra, "inter_chunk_block": inter}
+    sep["dprnn"] = dprnn
+    p["separator"] = sep
+    return {"params": p}

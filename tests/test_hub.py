@@ -147,3 +147,54 @@ def test_full_conv_tasnet_conversion_structure():
 
     y = model.apply(jax.tree_util.tree_map(jnp.asarray, converted), x)
     assert y.shape == (1, 2, 160)
+
+
+def test_dprnn_conversion_structure():
+    from dnn_based_source_separation_tpu.hub.torch_convert import convert_dprnn_tasnet
+    from dnn_based_source_separation_tpu.models import DPRNNTasNet
+
+    torch.manual_seed(6)
+    config = dict(sep_num_blocks=2, causal=False)
+    model = DPRNNTasNet(
+        n_basis=16, kernel_size=4, stride=2, enc_basis="trainable",
+        dec_basis="trainable", enc_nonlinear="relu",
+        sep_bottleneck_channels=8, sep_hidden_channels=6,
+        sep_chunk_size=10, sep_hop_size=5, sep_num_blocks=2,
+        causal=False, n_sources=2,
+    )
+    x = jnp.zeros((1, 1, 160))
+    ref_params = model.init(jax.random.PRNGKey(0), x)
+
+    sd = {}
+    sd["encoder.conv1d.weight"] = torch.randn(16, 1, 4)
+    sd["decoder.conv_transpose1d.weight"] = torch.randn(16, 1, 4)
+    sd["separator.norm1d.gamma"] = torch.randn(1, 16, 1)
+    sd["separator.norm1d.beta"] = torch.randn(1, 16, 1)
+    sd["separator.bottleneck_conv1d.weight"] = torch.randn(8, 16, 1)
+    sd["separator.bottleneck_conv1d.bias"] = torch.randn(8)
+    sd["separator.prelu.weight"] = torch.randn(1)
+    sd["separator.mask_conv1d.weight"] = torch.randn(32, 8, 1)
+    sd["separator.mask_conv1d.bias"] = torch.randn(32)
+    H = 6
+    for i in range(2):
+        for blk, bi in (("intra_chunk_block", True), ("inter_chunk_block", True)):
+            ref = f"separator.dprnn.net.{i}.{blk}"
+            for sfx in (["_l0", "_l0_reverse"] if bi else ["_l0"]):
+                sd[f"{ref}.rnn.weight_ih{sfx}"] = torch.randn(4 * H, 8)
+                sd[f"{ref}.rnn.weight_hh{sfx}"] = torch.randn(4 * H, H)
+                sd[f"{ref}.rnn.bias_ih{sfx}"] = torch.randn(4 * H)
+                sd[f"{ref}.rnn.bias_hh{sfx}"] = torch.randn(4 * H)
+            sd[f"{ref}.fc.weight"] = torch.randn(8, 2 * H)
+            sd[f"{ref}.fc.bias"] = torch.randn(8)
+            sd[f"{ref}.norm1d.gamma"] = torch.randn(1, 8, 1)
+            sd[f"{ref}.norm1d.beta"] = torch.randn(1, 8, 1)
+
+    converted = convert_dprnn_tasnet(sd, config)
+    ref_flat = {jax.tree_util.keystr(k): v.shape
+                for k, v in jax.tree_util.tree_leaves_with_path(ref_params)}
+    conv_flat = {jax.tree_util.keystr(k): np.asarray(v).shape
+                 for k, v in jax.tree_util.tree_leaves_with_path(
+                     jax.tree_util.tree_map(jnp.asarray, converted))}
+    assert ref_flat == conv_flat
+    y = model.apply(jax.tree_util.tree_map(jnp.asarray, converted), x)
+    assert y.shape == (1, 2, 160)

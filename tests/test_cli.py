@@ -145,3 +145,32 @@ def test_oracle_masks_cli(wsj0_corpus):
             "--mask", mask,
         ])
         assert imp > 3.0, f"oracle {mask} should improve SI-SDR, got {imp}"
+
+
+def test_create_mixtures_cli(tmp_path):
+    from dnn_based_source_separation_tpu.cli import create_mixtures
+    from dnn_based_source_separation_tpu.data.audio_io import read_wav, write_wav
+
+    rng = np.random.default_rng(11)
+    src_dir = tmp_path / "wsj0"
+    os.makedirs(src_dir)
+    entries = []
+    for i in range(3):
+        for spk in ("a", "b"):
+            x = 0.1 * rng.standard_normal(4000)
+            write_wav(str(src_dir / f"{spk}{i}.wav"), x, 8000)
+        entries.append(f"a{i}.wav 0.0 b{i}.wav -2.5")
+    lst = tmp_path / "tasks.txt"
+    lst.write_text("\n".join(entries))
+
+    out = tmp_path / "out"
+    create_mixtures.main([
+        "--list_path", str(lst), "--wav_root", str(src_dir),
+        "--out_root", str(out), "--length", "min",
+    ])
+    mixes = sorted(os.listdir(out / "mix"))
+    assert len(mixes) == 3
+    m, _ = read_wav(str(out / "mix" / mixes[0]))
+    s1, _ = read_wav(str(out / "s1" / mixes[0]))
+    s2, _ = read_wav(str(out / "s2" / mixes[0]))
+    np.testing.assert_allclose(m, s1 + s2, atol=2e-4)

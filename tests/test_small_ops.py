@@ -1,0 +1,92 @@
+"""Coverage tests for pools, activations, mu-law, metric-learn, transforms."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dnn_based_source_separation_tpu.criterion import ContrastiveLoss, TripletLoss, arcface_logits
+from dnn_based_source_separation_tpu.ops import (
+    GeneralizedMeanPool,
+    ModReLU,
+    complex_relu,
+    concat_relu,
+    global_avg_pool,
+    global_max_pool,
+    median_pool1d,
+    zrelu,
+)
+from dnn_based_source_separation_tpu.transforms import minimum_phase, real_cepstrum
+from dnn_based_source_separation_tpu.utils.audio import (
+    inv_mu_law_compand,
+    mu_law_compand,
+    mu_law_decode,
+    mu_law_encode,
+)
+
+
+def test_pools():
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 10, 4)), jnp.float32)
+    assert global_avg_pool(x).shape == (2, 4)
+    assert global_max_pool(x).shape == (2, 4)
+    m = median_pool1d(x, kernel_size=4, stride=2)
+    assert m.shape == (2, 4, 4)
+
+    gem = GeneralizedMeanPool()
+    v = gem.init(jax.random.PRNGKey(0), jnp.abs(x))
+    assert gem.apply(v, jnp.abs(x)).shape == (2, 4)
+
+
+def test_complex_activations():
+    z = jnp.asarray([1 + 1j, -1 + 1j, 1 - 1j, -1 - 1j], jnp.complex64)
+    zr = zrelu(z)
+    np.testing.assert_allclose(np.asarray(zr), [1 + 1j, 0, 0, 0])
+    cr = complex_relu(z)
+    np.testing.assert_allclose(np.asarray(cr), [1 + 1j, 1j, 1, 0])
+    x = jnp.asarray([-1.0, 2.0])
+    np.testing.assert_allclose(np.asarray(concat_relu(x)), [0, 2, 1, 0])
+
+    mod = ModReLU(features=4)
+    v = mod.init(jax.random.PRNGKey(0), z)
+    out = mod.apply(v, z)
+    assert out.shape == z.shape
+
+
+def test_mu_law_roundtrip():
+    x = np.linspace(-0.99, 0.99, 101).astype(np.float32)
+    y = inv_mu_law_compand(mu_law_compand(x))
+    np.testing.assert_allclose(y, x, atol=1e-5)
+    idx = mu_law_encode(x)
+    assert idx.min() >= 0 and idx.max() <= 255
+    back = mu_law_decode(idx)
+    np.testing.assert_allclose(back, x, atol=0.05)
+
+
+def test_metric_learning_losses():
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.standard_normal((4, 8)), jnp.float32)
+    p = a + 0.01
+    n = jnp.asarray(rng.standard_normal((4, 8)), jnp.float32)
+    tl = TripletLoss(margin=1.0)
+    assert float(tl(a, p, n)) < float(tl(a, n, p))
+
+    cl = ContrastiveLoss(margin=1.0)
+    same = float(cl(a, p, jnp.ones(4)))
+    diff_far = float(cl(a, a + 100.0, jnp.zeros(4)))
+    assert same < 0.1 and diff_far < 1e-6
+
+    w = jnp.asarray(rng.standard_normal((5, 8)), jnp.float32)
+    labels = jnp.asarray([0, 1, 2, 3])
+    logits = arcface_logits(a, w, labels)
+    assert logits.shape == (4, 5)
+
+
+def test_cepstrum_and_minimum_phase():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    c = real_cepstrum(x)
+    assert c.shape == (64,)
+    mp = minimum_phase(x)
+    # Same magnitude spectrum.
+    np.testing.assert_allclose(
+        np.abs(np.fft.rfft(np.asarray(mp))), np.abs(np.fft.rfft(np.asarray(x))),
+        rtol=1e-3, atol=1e-3,
+    )

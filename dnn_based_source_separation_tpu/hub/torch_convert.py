@@ -226,3 +226,52 @@ def convert_dprnn_tasnet(state_dict: Mapping, config: Mapping) -> Dict:
     sep["dprnn"] = dprnn
     p["separator"] = sep
     return {"params": p}
+
+
+def _transform_block_params(state_dict: Mapping, prefix: str):
+    """Reference TransformBlock1d (fc + BatchNorm1d, umx.py:533) ->
+    (params dict, batch_stats dict) for our umx.TransformBlock1d."""
+    params = {
+        "linear": {"kernel": dense_weight(state_dict[f"{prefix}.fc.weight"])},
+        "norm": {
+            "scale": _np(state_dict[f"{prefix}.norm1d.weight"]),
+            "bias": _np(state_dict[f"{prefix}.norm1d.bias"]),
+        },
+    }
+    if f"{prefix}.fc.bias" in state_dict:
+        params["linear"]["bias"] = _np(state_dict[f"{prefix}.fc.bias"])
+    stats = {
+        "norm": {
+            "mean": _np(state_dict[f"{prefix}.norm1d.running_mean"]),
+            "var": _np(state_dict[f"{prefix}.norm1d.running_var"]),
+        }
+    }
+    return params, stats
+
+
+def convert_open_unmix(state_dict: Mapping, config: Mapping) -> Dict:
+    """Reference OpenUnmix state_dict -> flax variables (params + batch_stats).
+
+    Reference module paths (src/models/umx.py:212-356): block (input
+    TransformBlock1d), rnn (nn.LSTM, 'net.0'/'net.1' output blocks),
+    scale_in/bias_in/scale_out/bias_out per-bin affines.
+    """
+    causal = bool(config.get("causal", False))
+    num_layers = int(config.get("num_layers", 3))
+
+    params: Dict = {}
+    stats: Dict = {}
+
+    params["scale_in"] = _np(state_dict["scale_in"])
+    params["bias_in"] = _np(state_dict["bias_in"])
+    params["scale_out"] = _np(state_dict["scale_out"])
+    params["bias_out"] = _np(state_dict["bias_out"])
+
+    for ours, ref in (("block", "block"), ("net0", "net.0"), ("net1", "net.1")):
+        p, s = _transform_block_params(state_dict, ref)
+        params[ours] = p
+        stats[ours] = s
+
+    params["rnn"] = lstm_params(state_dict, "rnn", num_layers=num_layers,
+                                bidirectional=not causal)
+    return {"params": params, "batch_stats": stats}

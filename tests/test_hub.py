@@ -198,3 +198,46 @@ def test_dprnn_conversion_structure():
     assert ref_flat == conv_flat
     y = model.apply(jax.tree_util.tree_map(jnp.asarray, converted), x)
     assert y.shape == (1, 2, 160)
+
+
+def test_umx_conversion_structure():
+    from dnn_based_source_separation_tpu.hub.torch_convert import convert_open_unmix
+    from dnn_based_source_separation_tpu.models import OpenUnmix
+
+    torch.manual_seed(7)
+    n_bins, max_bin, C, H, layers = 17, 10, 2, 8, 2
+    config = dict(causal=False, num_layers=layers)
+    model = OpenUnmix(in_channels=C, hidden_channels=H, num_layers=layers,
+                      n_bins=n_bins, max_bin=max_bin)
+    x = jnp.zeros((1, C, n_bins, 6))
+    ref_vars = model.init(jax.random.PRNGKey(0), x)
+
+    sd = {}
+    for name, dim in (("scale_in", max_bin), ("bias_in", max_bin),
+                      ("scale_out", n_bins), ("bias_out", n_bins)):
+        sd[name] = torch.randn(dim)
+    blocks = {"block": (C * max_bin, H), "net.0": (2 * H, H), "net.1": (H, C * n_bins)}
+    for ref, (fin, fout) in blocks.items():
+        sd[f"{ref}.fc.weight"] = torch.randn(fout, fin)
+        sd[f"{ref}.norm1d.weight"] = torch.randn(fout)
+        sd[f"{ref}.norm1d.bias"] = torch.randn(fout)
+        sd[f"{ref}.norm1d.running_mean"] = torch.randn(fout)
+        sd[f"{ref}.norm1d.running_var"] = torch.rand(fout) + 0.5
+    half = H // 2
+    for layer in range(layers):
+        fin = H if layer == 0 else 2 * half
+        for sfx in (f"_l{layer}", f"_l{layer}_reverse"):
+            sd[f"rnn.weight_ih{sfx}"] = torch.randn(4 * half, fin)
+            sd[f"rnn.weight_hh{sfx}"] = torch.randn(4 * half, half)
+            sd[f"rnn.bias_ih{sfx}"] = torch.randn(4 * half)
+            sd[f"rnn.bias_hh{sfx}"] = torch.randn(4 * half)
+
+    converted = convert_open_unmix(sd, config)
+    ref_flat = {jax.tree_util.keystr(k): v.shape
+                for k, v in jax.tree_util.tree_leaves_with_path(ref_vars)}
+    conv_flat = {jax.tree_util.keystr(k): np.asarray(v).shape
+                 for k, v in jax.tree_util.tree_leaves_with_path(
+                     jax.tree_util.tree_map(jnp.asarray, converted))}
+    assert ref_flat == conv_flat
+    y = model.apply(jax.tree_util.tree_map(jnp.asarray, converted), x)
+    assert y.shape == x.shape

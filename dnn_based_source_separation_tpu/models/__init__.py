@@ -3,15 +3,16 @@
 from .base import register_model, save_model, load_model, get_model_class
 from .conv_tasnet import ConvTasNet
 from .dprnn_tasnet import DPRNNTasNet
-from .lstm_tasnet import LSTMTasNet, TasNet
+from .lstm_tasnet import LSTMTasNet, TasNet, TasNetBase
 from .sepformer import SepFormer
 from .dptnet import DPTNet
+from .dptransformer import DualPathTransformer
 from .galrnet import GALRNet
 from .umx import OpenUnmix, ParallelOpenUnmix
 from .xumx import CrossNetOpenUnmix
 from .danet import DANet, FixedAttractorDANet
 from .adanet import ADANet
-from .deep_clustering import DeepEmbedding, ChimeraNet
+from .deep_clustering import DeepEmbedding, ChimeraNet, DeepEmbeddingPlus
 from .m_densenet import MDenseNet
 from .mm_densenet import MMDenseNet, ParallelMMDenseNet, TimeDomainWrapper
 from .mm_dense_rnn import MMDenseRNN, MMDenseLSTM, ParallelMMDenseLSTM

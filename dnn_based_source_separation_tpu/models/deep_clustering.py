@@ -95,3 +95,49 @@ class ChimeraNet(nn.Module, SeparationModelMixin):
         else:
             raise ValueError(f"Unsupported mask nonlinearity: {self.mask_nonlinear}")
         return mask, emb
+
+
+@register_model
+class DeepEmbeddingPlus(nn.Module, SeparationModelMixin):
+    """DC++ embedding head (reference DeepEmbedding_pp:307): sigmoid
+    squashed unit-norm embeddings + a naive enhancement sub-net (which the
+    reference leaves as identity, deep_clustering.py:390 forward)."""
+
+    n_bins: int
+    hidden_channels: int = 300
+    embed_dim: int = 40
+    num_layers: int = 4
+    enh_hidden_channels: int = 600
+    enh_num_layers: int = 2
+    causal: bool = False
+    rnn_type: str = "lstm"
+    take_log: bool = True
+    take_db: bool = False
+    eps: float = EPS
+
+    @nn.compact
+    def __call__(self, input):
+        """(B, 1, F, T) or (B, F, T) amplitude -> (B, F, T, D) embeddings."""
+        if input.ndim == 4:
+            input = input[:, 0]
+        B, F, T = input.shape
+        if self.take_log:
+            x = jnp.log(input + self.eps)
+        elif self.take_db:
+            x = 20.0 * jnp.log10(input + self.eps)
+        else:
+            x = input
+        x = jnp.transpose(x, (0, 2, 1))
+        x = choose_rnn(
+            self.rnn_type, self.hidden_channels, num_layers=self.num_layers,
+            bidirectional=not self.causal, parent_name="rnn",
+        )(x)
+        x = nn.Dense(self.n_bins * self.embed_dim, name="fc")(x)
+        x = x.reshape(B, T, F, self.embed_dim)
+        x = jnp.transpose(x, (0, 2, 1, 3))
+        x = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + self.eps)
+        return nn.sigmoid(x)
+
+
+# Reference-name alias.
+DeepEmbedding_pp = DeepEmbeddingPlus

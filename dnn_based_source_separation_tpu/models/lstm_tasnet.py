@@ -107,3 +107,55 @@ class LSTMTasNet(nn.Module, LatentMaskingMixin, SeparationModelMixin):
 
 # Reference alias (src/models/lstm_tasnet.py)
 TasNet = LSTMTasNet
+
+
+class TasNetBase(nn.Module, SeparationModelMixin):
+    """Fourier analysis/synthesis autoencoder (reference tasnet.py:13-69).
+
+    (B, 1, T) -> (B, 1, T): pads to the stride grid, encodes with the
+    (optionally trainable) Fourier filterbank and resynthesizes -- the
+    filterbank-correctness harness of the reference's _test_fourier.
+    """
+
+    hidden_channels: int
+    kernel_size: int
+    stride: Optional[int] = None
+    window_fn: str = "hann"
+    enc_trainable: bool = False
+    dec_trainable: bool = False
+    onesided: bool = True
+    return_complex: bool = True
+
+    def setup(self):
+        from ..ops.filterbank import FourierDecoder, FourierEncoder, compute_valid_basis
+
+        stride = self.stride or self.kernel_size // 2
+        assert self.kernel_size % stride == 0
+        self._stride = stride
+        n_basis = compute_valid_basis(self.hidden_channels, self.onesided, self.return_complex)
+        self.encoder = FourierEncoder(
+            n_basis, self.kernel_size, stride, window_fn=self.window_fn,
+            trainable=self.enc_trainable, onesided=self.onesided,
+            return_complex=self.return_complex,
+        )
+        self.decoder = FourierDecoder(
+            n_basis, self.kernel_size, stride, window_fn=self.window_fn,
+            trainable=self.dec_trainable, onesided=self.onesided,
+        )
+
+    def __call__(self, input):
+        output, _ = self.extract_latent(input)
+        return output
+
+    def extract_latent(self, input):
+        B, C, T = input.shape
+        stride = self._stride
+        padding = (stride - (T - self.kernel_size) % stride) % stride
+        pl, pr = padding // 2, padding - padding // 2
+        x = jnp.pad(input, ((0, 0), (0, 0), (pl, pr)))
+        x = jnp.moveaxis(x, 1, 2)
+        latent = self.encoder(x)
+        y = self.decoder(latent)  # (B, T_pad, 1)
+        y = jnp.moveaxis(y, 1, 2)
+        end = y.shape[-1] - pr
+        return y[..., pl:end], latent

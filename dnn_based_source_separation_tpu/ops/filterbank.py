@@ -209,11 +209,17 @@ class FourierDecoder(nn.Module):
         optimal = self.param(
             "optimal_window", lambda k: build_optimal_window(window, self.stride)
         )
-        phase = None
+        n = jnp.arange(self.kernel_size, dtype=jnp.float32)
+        # Synthesis basis with POSITIVE phase cos/sin (reference
+        # FourierDecoder.forward), always mirrored to the full n_basis rows
+        # (interior conjugates carry -sin).
+        omega_n = frequency[:, None] * n[None, :]
         if self.trainable_phase:
             phase = self.param("phase", nn.initializers.zeros, (self.n_basis // 2 + 1,))
-        n = jnp.arange(self.kernel_size, dtype=jnp.float32)
-        real, imag = _fourier_basis(frequency, n, phase, self.onesided)
+            omega_n = omega_n + phase[:, None]
+        real, imag = jnp.cos(omega_n), jnp.sin(omega_n)
+        real = jnp.concatenate([real, jnp.flip(real[1:-1], axis=0)], axis=0)
+        imag = jnp.concatenate([imag, -jnp.flip(imag[1:-1], axis=0)], axis=0)
         real = optimal * real / self.n_basis
         imag = optimal * imag / self.n_basis
 
@@ -222,6 +228,11 @@ class FourierDecoder(nn.Module):
         else:
             n_bins = w_hat.shape[-1]
             wr, wi = w_hat[..., : n_bins // 2], w_hat[..., n_bins // 2 :]
+
+        if self.onesided:
+            # Mirror the interior bins (conjugate symmetry of real signals).
+            wr = jnp.concatenate([wr, jnp.flip(wr[..., 1:-1], axis=-1)], axis=-1)
+            wi = jnp.concatenate([wi, -jnp.flip(wi[..., 1:-1], axis=-1)], axis=-1)
 
         # conv_transpose == per-frame synthesis matmul + overlap-add fold.
         frames = (

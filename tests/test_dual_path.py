@@ -125,3 +125,31 @@ def test_dprnn_checkpoint_roundtrip(tmp_path):
     model2, params2, _ = load_model(path)
     y1 = model2.apply(params2, x)
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+
+
+def test_tasnet_base_fourier_reconstruction():
+    """Fourier autoencoder reconstructs the interior exactly (reference
+    _test_fourier harness, src/models/filterbank.py:440-509)."""
+    from dnn_based_source_separation_tpu.models.lstm_tasnet import TasNetBase
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 1, 160)), jnp.float32)
+    for onesided, return_complex, h in [(True, True, 17), (False, True, 16), (True, False, 18)]:
+        m = TasNetBase(hidden_channels=h, kernel_size=16, stride=8,
+                       onesided=onesided, return_complex=return_complex)
+        v = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(v, x)
+        err = float(jnp.linalg.norm(y[..., 16:-16] - x[..., 16:-16]) /
+                    jnp.linalg.norm(x[..., 16:-16]))
+        assert err < 1e-5, f"onesided={onesided} complex={return_complex}: {err}"
+
+
+def test_deep_embedding_pp():
+    from dnn_based_source_separation_tpu.models.deep_clustering import DeepEmbeddingPlus
+
+    model = DeepEmbeddingPlus(n_bins=17, hidden_channels=8, embed_dim=4, num_layers=1)
+    a = jnp.abs(jnp.asarray(np.random.default_rng(1).standard_normal((2, 1, 17, 9)), jnp.float32))
+    v = model.init(jax.random.PRNGKey(0), a)
+    emb = model.apply(v, a)
+    assert emb.shape == (2, 17, 9, 4)
+    assert np.all((np.asarray(emb) >= 0) & (np.asarray(emb) <= 1))

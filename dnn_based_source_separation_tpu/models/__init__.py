@@ -19,7 +19,8 @@ from .mm_dense_rnn import MMDenseRNN, MMDenseLSTM, ParallelMMDenseLSTM
 from .d3net import D3Net, ParallelD3Net
 from .wavenet import WaveNet
 from .mrx import MultiResolutionCrossNet
-from .unet import UNet1d, UNet2d
+from .unet import UNet1d, UNet2d, EnsembleUNet1d, EnsembleUNet2d
+from .galr import GALR
 from .cunet import ConditionedUNet2d, ControlDenseNet, ControlConvNet
 from .hrnet import HRNet
 from .wavesplit import WaveSplit, speaker_distance_loss

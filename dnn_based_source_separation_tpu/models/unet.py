@@ -231,3 +231,66 @@ class UNet1d(nn.Module, SeparationModelMixin):
         dt = x.shape[1] - T_in
         x = x[:, dt // 2 : x.shape[1] - (dt - dt // 2)]
         return jnp.moveaxis(x, 1, 2)
+
+
+@register_model
+class EnsembleUNet2d(nn.Module, SeparationModelMixin):
+    """Stack of U-Nets applied sequentially, optionally returning every
+    stage's output (reference EnsembleUNet2d:229)."""
+
+    channels: Sequence[int]
+    kernel_size: Any
+    num_stages: int = 2
+    stride: Any = None
+    dilated: bool = False
+    enc_nonlinear: Any = "relu"
+    dec_nonlinear: Any = "relu"
+    out_channels: Optional[int] = None
+    eps: float = EPS
+
+    @nn.compact
+    def __call__(self, input, train: bool = False, return_all_layers: bool = False):
+        outputs = []
+        x = input
+        for idx in range(self.num_stages):
+            x = UNet2d(
+                self.channels, self.kernel_size, stride=self.stride,
+                dilated=self.dilated, enc_nonlinear=self.enc_nonlinear,
+                dec_nonlinear=self.dec_nonlinear, out_channels=self.out_channels,
+                eps=self.eps, name=f"unet{idx}",
+            )(x, train=train)
+            outputs.append(x)
+        if return_all_layers:
+            return jnp.stack(outputs, axis=1)
+        return x
+
+
+@register_model
+class EnsembleUNet1d(nn.Module, SeparationModelMixin):
+    """1-D ensemble counterpart (reference EnsembleUNet1d:151)."""
+
+    channels: Sequence[int]
+    kernel_size: int
+    num_stages: int = 2
+    stride: Optional[int] = None
+    dilated: bool = False
+    enc_nonlinear: Any = "relu"
+    dec_nonlinear: Any = "relu"
+    out_channels: Optional[int] = None
+    eps: float = EPS
+
+    @nn.compact
+    def __call__(self, input, train: bool = False, return_all_layers: bool = False):
+        outputs = []
+        x = input
+        for idx in range(self.num_stages):
+            x = UNet1d(
+                self.channels, self.kernel_size, stride=self.stride,
+                dilated=self.dilated, enc_nonlinear=self.enc_nonlinear,
+                dec_nonlinear=self.dec_nonlinear, out_channels=self.out_channels,
+                eps=self.eps, name=f"unet{idx}",
+            )(x, train=train)
+            outputs.append(x)
+        if return_all_layers:
+            return jnp.stack(outputs, axis=1)
+        return x

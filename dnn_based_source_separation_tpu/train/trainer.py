@@ -148,6 +148,8 @@ class Trainer:
 
     def run_one_epoch_train(self, epoch: int) -> float:
         cfg = self.config
+        epoch_start = time.time()
+        audio_seconds = 0.0
         profiling = cfg.profile_dir and epoch == self.start_epoch
         if profiling:
             import jax.profiler
@@ -161,6 +163,7 @@ class Trainer:
             self.params, self.opt_state, loss = self.train_step(
                 self.params, self.opt_state, *batch
             )
+            audio_seconds += batch[0].shape[0] * batch[0].shape[-1] / cfg.sample_rate
             total += float(loss)
             n_batches += 1
             if (idx + 1) % cfg.log_interval == 0:
@@ -178,6 +181,13 @@ class Trainer:
             import jax.profiler
 
             jax.profiler.stop_trace()
+        elapsed = time.time() - epoch_start
+        if audio_seconds and elapsed > 0:
+            print(
+                f"[Epoch {epoch + 1}] training throughput: "
+                f"{audio_seconds / elapsed:.1f} audio-seconds/sec",
+                flush=True,
+            )
         return total / max(n_batches, 1)
 
     def run_one_epoch_eval(self, epoch: int) -> float:

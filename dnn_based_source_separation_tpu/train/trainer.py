@@ -198,7 +198,7 @@ class Trainer:
             loss, estimates = self.eval_step(self.params, mixture, sources)
             total += float(loss)
             n_batches += 1
-            if idx < cfg.save_valid_wavs and epoch == self.start_epoch:
+            if idx < cfg.save_valid_wavs:
                 self._dump_samples(epoch, idx, mixture, estimates)
         return total / max(n_batches, 1)
 

@@ -47,3 +47,20 @@ def evaluate_pesq(pesq_bin: str, reference_path: str, estimated_path: str, sampl
         if "Prediction" in line:
             return float(line.rstrip().split()[-1])
     raise RuntimeError(f"PESQ produced no prediction: {out[:200]}")
+
+
+def load_piano_roll(midi_path: str, fs: int = 100):
+    """Piano-roll loader (reference `src/utils/audio.py:45-70`).
+
+    Requires pretty_midi, which is optional in the reference too; gated
+    here with a clear error since this image does not ship it.
+    """
+    try:
+        import pretty_midi
+    except ImportError as exc:  # pragma: no cover - optional dependency
+        raise ImportError(
+            "load_piano_roll requires pretty_midi (optional, as in the "
+            "reference); install it to use the NSynth/good-sounds recipes."
+        ) from exc
+    midi = pretty_midi.PrettyMIDI(midi_path)
+    return midi.get_piano_roll(fs=fs)

@@ -36,7 +36,8 @@ def build_parser():
     p.add_argument("--valid_duration", type=float, default=10.0)
     p.add_argument("--samples_per_epoch", type=int, default=None)
     p.add_argument("--augmentation", type=int, default=1)
-    p.add_argument("--model", type=str, default="umx", choices=["umx", "xumx"])
+    p.add_argument("--model", type=str, default="umx", choices=["umx", "xumx", "d3net"])
+    p.add_argument("--d3net_config", type=str, default=None, help="band-structured YAML (egs/musdb18/d3net/config)")
     p.add_argument("--n_fft", type=int, default=4096)
     p.add_argument("--hop_length", type=int, default=1024)
     p.add_argument("--window_fn", type=str, default="hann")
@@ -98,11 +99,25 @@ def main(args=None):
         max_bin=min(args.max_bin, n_bins), dropout=args.dropout,
         sources=tuple(sources),
     )
-    base = ParallelOpenUnmix(**base_kwargs) if args.model == "umx" else CrossNetOpenUnmix(**base_kwargs)
+    if args.model == "umx":
+        base = ParallelOpenUnmix(**base_kwargs)
+    elif args.model == "xumx":
+        base = CrossNetOpenUnmix(**base_kwargs)
+    else:  # d3net: one backbone per stem from the band-structured YAML
+        import dataclasses
+
+        from ..models.d3net import ParallelD3Net
+        from ..utils.config import build_d3net_from_config
+
+        assert args.d3net_config, "--d3net_config is required for model=d3net"
+        single = build_d3net_from_config(args.d3net_config)
+        cfg = {f.name: getattr(single, f.name) for f in dataclasses.fields(single)
+               if f.name not in ("parent", "name")}
+        base = ParallelD3Net(sources=tuple(sources), **cfg)
     model = SpectrogramMaskingWrapper(base, args.n_fft, args.hop_length, args.window_fn)
 
     window = build_window(args.n_fft, args.window_fn)
-    if args.model == "umx":
+    if args.model in ("umx", "d3net"):
         criterion = SpectralTargetAdapter(
             MSELoss(dim=(-2, -1)), args.n_fft, args.hop_length, args.window_fn,
         )

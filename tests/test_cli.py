@@ -174,3 +174,51 @@ def test_create_mixtures_cli(tmp_path):
     s1, _ = read_wav(str(out / "s1" / mixes[0]))
     s2, _ = read_wav(str(out / "s2" / mixes[0]))
     np.testing.assert_allclose(m, s1 + s2, atol=2e-4)
+
+
+def test_train_musdb18_d3net(musdb_corpus, tmp_path):
+    from dnn_based_source_separation_tpu.cli import train_musdb18
+
+    root, sr = musdb_corpus
+    cfg = tmp_path / "d3.yaml"
+    cfg.write_text("""
+in_channels: 2
+bands: [low, middle]
+low:
+  sections: 16
+  num_features: 2
+  growth_rate: [2, 2, 2]
+  kernel_size: 3
+  scale: 2
+  num_d2blocks: [1, 1, 1]
+  depth: [1, 1, 1]
+middle:
+  sections: 17
+  num_features: 2
+  growth_rate: [2, 2, 2]
+  kernel_size: 3
+  scale: 2
+  num_d2blocks: [1, 1, 1]
+  depth: [1, 1, 1]
+full:
+  num_features: 2
+  growth_rate: [2, 2, 2]
+  kernel_size: 3
+  scale: 2
+  num_d2blocks: [1, 1, 1]
+  depth: [1, 1, 1]
+final:
+  growth_rate: 2
+  kernel_size: 3
+  depth: 1
+""")
+    exp = str(tmp_path / "exp_d3")
+    trainer = train_musdb18.main([
+        "--musdb18_root", str(root), "--sample_rate", str(sr),
+        "--duration", "0.25", "--valid_duration", "0.25",
+        "--samples_per_epoch", "2", "--model", "d3net",
+        "--d3net_config", str(cfg),
+        "--n_fft", "64", "--hop_length", "32",
+        "--batch_size", "2", "--epochs", "1", "--exp_dir", exp,
+    ])
+    assert np.isfinite(trainer.train_loss[0])

@@ -155,7 +155,11 @@ class Trainer:
             import jax.profiler
 
             jax.profiler.start_trace(cfg.profile_dir)
-        total, n_batches = 0.0, 0
+        # Losses stay on device until the epoch ends: fetching the scalar
+        # every step would synchronize the pipeline (very costly through a
+        # remote-tunneled chip).
+        device_losses = []
+        n_batches = 0
         for idx, (mixture, sources) in enumerate(self.train_loader):
             batch = (jnp.asarray(mixture), jnp.asarray(sources))
             if self.mesh is not None:
@@ -164,12 +168,13 @@ class Trainer:
                 self.params, self.opt_state, *batch
             )
             audio_seconds += batch[0].shape[0] * batch[0].shape[-1] / cfg.sample_rate
-            total += float(loss)
+            device_losses.append(loss)
             n_batches += 1
             if (idx + 1) % cfg.log_interval == 0:
+                running = float(jnp.mean(jnp.stack(device_losses)))
                 print(
                     f"[Epoch {epoch + 1}] iter {idx + 1}/{len(self.train_loader)} "
-                    f"loss: {total / n_batches:.5f}",
+                    f"loss: {running:.5f}",
                     flush=True,
                 )
             if profiling and idx >= 2:  # a few steps are enough for a trace
@@ -181,6 +186,7 @@ class Trainer:
             import jax.profiler
 
             jax.profiler.stop_trace()
+        total = float(jnp.sum(jnp.stack(device_losses))) if device_losses else 0.0
         elapsed = time.time() - epoch_start
         if audio_seconds and elapsed > 0:
             print(

@@ -67,6 +67,7 @@ def build_parser():
     p.add_argument("--overwrite", type=int, default=0)
     p.add_argument("--seed", type=int, default=111)
     p.add_argument("--n_devices", type=int, default=None, help="mesh data-parallel size")
+    p.add_argument("--mixed_precision", type=int, default=0, help="bf16 compute, f32 master params")
     return p
 
 
@@ -100,7 +101,12 @@ def main(args=None):
         continue_from=args.continue_from, overwrite=bool(args.overwrite),
         sample_rate=args.sample_rate,
     )
-    trainer = Trainer(model, train_loader, valid_loader, criterion, optimizer, config, mesh=mesh)
+    import jax.numpy as jnp
+
+    trainer = Trainer(
+        model, train_loader, valid_loader, criterion, optimizer, config,
+        mesh=mesh, compute_dtype=jnp.bfloat16 if args.mixed_precision else None,
+    )
     trainer.run()
     return trainer
 

@@ -60,6 +60,7 @@ def make_train_step(
     optimizer,
     mesh: Optional[Mesh] = None,
     train_kwargs: Optional[dict] = None,
+    compute_dtype=None,
 ) -> Callable:
     """Build jitted (variables, opt_state, mixture, sources) ->
     (variables, opt_state, loss).
@@ -70,19 +71,41 @@ def make_train_step(
     criterion follows the PIT protocol: returns (loss, pattern); plain
     scalar criteria also work. `train_kwargs` is forwarded to model.apply
     (e.g. {'train': True} for BatchNorm models).
+
+    compute_dtype=jnp.bfloat16 enables mixed precision: the forward/backward
+    run in bf16 (params cast inside the step, inputs cast), while the master
+    params, loss and Adam state stay float32.
     """
+    import jax.numpy as jnp
+
     tk = train_kwargs or {}
+
+    def _cast(tree, dtype):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(dtype) if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+            tree,
+        )
 
     def train_step(variables, opt_state, mixture, sources):
         params = variables["params"]
         aux = {k: v for k, v in variables.items() if k != "params"}
 
         def loss_fn(p):
-            v = {"params": p, **aux}
-            if aux:
-                estimates, new_aux = model.apply(v, mixture, mutable=list(aux.keys()), **tk)
+            if compute_dtype is not None:
+                v = {"params": _cast(p, compute_dtype), **_cast(aux, compute_dtype)}
+                mix_in = mixture.astype(compute_dtype)
             else:
-                estimates, new_aux = model.apply(v, mixture, **tk), {}
+                v = {"params": p, **aux}
+                mix_in = mixture
+            if aux:
+                estimates, new_aux = model.apply(v, mix_in, mutable=list(aux.keys()), **tk)
+            else:
+                estimates, new_aux = model.apply(v, mix_in, **tk), {}
+            if compute_dtype is not None:
+                estimates = jax.tree_util.tree_map(
+                    lambda e: e.astype(jnp.float32) if hasattr(e, "dtype") else e, estimates
+                )
+                new_aux = _cast(new_aux, jnp.float32)
             out = criterion(estimates, sources)
             loss = out[0] if isinstance(out, tuple) else out
             return loss, new_aux

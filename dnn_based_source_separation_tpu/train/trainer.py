@@ -62,6 +62,7 @@ class Trainer:
         init_params=None,
         eval_criterion: Callable | None = None,
         train_kwargs: dict | None = None,
+        compute_dtype=None,
     ):
         self.model = model
         self.train_loader = train_loader
@@ -77,7 +78,7 @@ class Trainer:
         for d in (self.model_dir, self.loss_dir, self.sample_dir):
             os.makedirs(d, exist_ok=True)
 
-        self.train_step = make_train_step(model, criterion, optimizer, mesh=mesh, train_kwargs=train_kwargs)
+        self.train_step = make_train_step(model, criterion, optimizer, mesh=mesh, train_kwargs=train_kwargs, compute_dtype=compute_dtype)
         self.eval_step = make_eval_step(model, eval_criterion or criterion, mesh=mesh)
 
         if config.continue_from:

@@ -109,3 +109,27 @@ def test_trainer_runs_and_resumes(tmp_path):
     assert trainer2.train_loss[:2] == trainer.train_loss[:2]
     trainer2.run()
     assert len(trainer2.train_loss) == 3
+
+
+def test_mixed_precision_train_step():
+    import jax.numpy as jnp2
+
+    model = tiny_model()
+    ds = SyntheticMixtureDataset(n_items=8, samples=800)
+    mixture, sources = next(iter(DataLoader(ds, batch_size=8)))
+    mixture, sources = jnp.asarray(mixture), jnp.asarray(sources)
+
+    params = model.init(jax.random.PRNGKey(0), mixture)
+    opt = make_optimizer("adam", 1e-3, max_norm=5.0)
+    opt_state = opt.init(params["params"])
+    criterion = PIT1d(NegSISDR(), n_sources=2)
+    step = make_train_step(model, criterion, opt, compute_dtype=jnp2.bfloat16)
+
+    losses = []
+    for _ in range(20):
+        params, opt_state, loss = step(params, opt_state, mixture, sources)
+        losses.append(float(loss))
+    # Master params stay f32; training progresses.
+    leaf = jax.tree_util.tree_leaves(params["params"])[0]
+    assert leaf.dtype == jnp2.float32
+    assert losses[-1] < losses[0]

@@ -275,3 +275,78 @@ def convert_open_unmix(state_dict: Mapping, config: Mapping) -> Dict:
     params["rnn"] = lstm_params(state_dict, "rnn", num_layers=num_layers,
                                 bidirectional=not causal)
     return {"params": params, "batch_stats": stats}
+
+
+def _transformer_layer_params(state_dict: Mapping, prefix: str) -> Dict:
+    """torch nn.TransformerEncoderLayer -> ops.attention.TransformerEncoderLayer."""
+    E = _np(state_dict[f"{prefix}.self_attn.in_proj_weight"]).shape[1]
+    return {
+        "self_attn": {
+            "in_proj": {
+                "kernel": dense_weight(state_dict[f"{prefix}.self_attn.in_proj_weight"]),
+                "bias": _np(state_dict[f"{prefix}.self_attn.in_proj_bias"]),
+            },
+            "out_proj": {
+                "kernel": dense_weight(state_dict[f"{prefix}.self_attn.out_proj.weight"]),
+                "bias": _np(state_dict[f"{prefix}.self_attn.out_proj.bias"]),
+            },
+        },
+        "linear1": {
+            "kernel": dense_weight(state_dict[f"{prefix}.linear1.weight"]),
+            "bias": _np(state_dict[f"{prefix}.linear1.bias"]),
+        },
+        "linear2": {
+            "kernel": dense_weight(state_dict[f"{prefix}.linear2.weight"]),
+            "bias": _np(state_dict[f"{prefix}.linear2.bias"]),
+        },
+        "norm1": {
+            "scale": _np(state_dict[f"{prefix}.norm1.weight"]),
+            "bias": _np(state_dict[f"{prefix}.norm1.bias"]),
+        },
+        "norm2": {
+            "scale": _np(state_dict[f"{prefix}.norm2.weight"]),
+            "bias": _np(state_dict[f"{prefix}.norm2.bias"]),
+        },
+    }
+
+
+def convert_sepformer(state_dict: Mapping, config: Mapping) -> Dict:
+    """Reference SepFormer state_dict -> flax params tree.
+
+    Reference paths (src/models/sepformer.py): encoder.conv1d,
+    decoder.conv_transpose1d, separator.{norm1d,bottleneck_conv1d_in,prelu,
+    map,gtu,bottleneck_conv1d_out} and
+    separator.dptransformer.net.{b}.{intra,inter}_transformer.transformer.layers.{l}
+    plus the stack's final gLN (transformer.norm).
+    """
+    causal = bool(config.get("causal", False))
+    num_blocks = int(config.get("sep_num_blocks", 2))
+    nli = int(config.get("sep_num_layers_intra", config.get("sep_num_layers", 8)))
+    nle = int(config.get("sep_num_layers_inter", config.get("sep_num_layers", 8)))
+    top_norm = "CumulativeLayerNorm_0" if causal else "GlobalLayerNorm_0"
+
+    p: Dict = {}
+    p["encoder"] = {"kernel": encoder_conv1d_weight(state_dict["encoder.conv1d.weight"])}
+    p["decoder"] = {"kernel": conv_transpose1d_weight(state_dict["decoder.conv_transpose1d.weight"])}
+
+    sep: Dict = {}
+    sep[top_norm] = _norm_params(state_dict, "separator.norm1d")
+    sep["bottleneck_conv1d_in"] = _dense_params(state_dict, "separator.bottleneck_conv1d_in")
+    sep["prelu"] = {"alpha": _np(state_dict["separator.prelu.weight"]).reshape(())}
+    sep["map"] = _dense_params(state_dict, "separator.map")
+    sep["gtu_tanh"] = _dense_params(state_dict, "separator.gtu.map")
+    sep["gtu_sigmoid"] = _dense_params(state_dict, "separator.gtu.map_gate")
+    sep["bottleneck_conv1d_out"] = _dense_params(state_dict, "separator.bottleneck_conv1d_out")
+
+    for b in range(num_blocks):
+        blk: Dict = {}
+        for path, n_layers in (("intra_transformer", nli), ("inter_transformer", nle)):
+            ref = f"separator.dptransformer.net.{b}.{path}.transformer"
+            sub: Dict = {}
+            for l in range(n_layers):
+                sub[f"layer{l}"] = _transformer_layer_params(state_dict, f"{ref}.layers.{l}")
+            sub["GlobalLayerNorm_0"] = _norm_params(state_dict, f"{ref}.norm.norm1d")
+            blk[path] = sub
+        sep[f"block{b}"] = blk
+    p["separator"] = sep
+    return {"params": p}

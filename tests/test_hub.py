@@ -241,3 +241,24 @@ def test_umx_conversion_structure():
     assert ref_flat == conv_flat
     y = model.apply(jax.tree_util.tree_map(jnp.asarray, converted), x)
     assert y.shape == x.shape
+
+
+def test_transformer_layer_conversion_parity():
+    """Converted torch TransformerEncoderLayer must match numerically."""
+    from dnn_based_source_separation_tpu.hub.torch_convert import _transformer_layer_params
+    from dnn_based_source_separation_tpu.ops.attention import TransformerEncoderLayer
+
+    torch.manual_seed(8)
+    E, H, FF, T, B = 8, 2, 16, 6, 2
+    ref = torch.nn.TransformerEncoderLayer(E, H, FF, dropout=0.0, batch_first=True)
+    ref.eval()
+    x = torch.randn(B, T, E)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+
+    sd = {f"layer.{k}": v for k, v in ref.state_dict().items()}
+    params = _transformer_layer_params(sd, "layer")
+    ours = TransformerEncoderLayer(E, H, d_ff=FF).apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)}, jnp.asarray(x.numpy())
+    )
+    np.testing.assert_allclose(np.asarray(ours), expected, atol=2e-5)

@@ -39,6 +39,7 @@ class Tester:
         out_dir: Optional[str] = None,
         pesq_bin: Optional[str] = None,
         filt_len: int = 512,
+        pad_to: int = 8000,
     ):
         self.model, self.params = model, params
         self.dataset = dataset
@@ -47,6 +48,9 @@ class Tester:
         self.out_dir = out_dir
         self.pesq_bin = pesq_bin
         self.filt_len = filt_len
+        # Bucket utterance lengths to multiples of pad_to so jit compiles a
+        # handful of programs instead of one per utterance length.
+        self.pad_to = pad_to
         self._forward = jax.jit(model.apply)
 
     def run(self, verbose: bool = True):
@@ -57,9 +61,13 @@ class Tester:
             print("ID, Loss, Loss improvement, SDR improvement, SIR improvement, SAR, PESQ", flush=True)
 
         for utt_id, mixture, sources in self.dataset:
-            mixture_j = jnp.asarray(mixture)[None]  # (1, 1, T)
+            T = mixture.shape[-1]
+            pad = (-T) % self.pad_to
+            mixture_p = np.pad(np.asarray(mixture), ((0, 0), (0, pad)))
+            mixture_j = jnp.asarray(mixture_p)[None]  # (1, 1, T_padded)
             sources_j = jnp.asarray(sources)[None]  # (1, n_src, T)
-            estimates = self._forward(self.params, mixture_j)
+            estimates = self._forward(self.params, mixture_j)[..., :T]
+            mixture_j = mixture_j[..., :T]
             loss, _ = self.pit_criterion(estimates, sources_j)
 
             n_src = sources.shape[0]

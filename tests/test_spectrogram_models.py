@@ -63,3 +63,36 @@ def test_umx_train_step_with_batch_stats():
     new_vars, opt_state, loss = step(vars_, opt_state, x, target)
     assert "batch_stats" in new_vars
     assert np.isfinite(float(loss))
+
+
+def test_umx_train_step_sharded_with_batch_stats():
+    """batch_stats models must train correctly under mesh sharding too."""
+    import jax
+
+    from dnn_based_source_separation_tpu.criterion import MSELoss
+    from dnn_based_source_separation_tpu.parallel import make_mesh, shard_batch
+    from dnn_based_source_separation_tpu.train import make_optimizer, make_train_step
+
+    mesh = make_mesh(8)
+    model = OpenUnmix(in_channels=1, hidden_channels=8, num_layers=1, n_bins=17)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(np.abs(rng.standard_normal((8, 1, 17, 8))), jnp.float32)
+    target = jnp.asarray(np.abs(rng.standard_normal((8, 1, 17, 8))), jnp.float32)
+    vars_ = model.init(jax.random.PRNGKey(0), x)
+    opt = make_optimizer("adam", 1e-3)
+    opt_state = opt.init(vars_["params"])
+
+    step_sharded = make_train_step(model, MSELoss(), opt, mesh=mesh, train_kwargs={"train": True})
+    step_single = make_train_step(model, MSELoss(), opt, train_kwargs={"train": True})
+
+    batch = shard_batch(mesh, (x, target))
+    v1, _, loss_sharded = step_sharded(vars_, opt_state, *batch)
+
+    vars2 = model.init(jax.random.PRNGKey(0), x)
+    opt_state2 = opt.init(vars2["params"])
+    v2, _, loss_single = step_single(vars2, opt_state2, x, target)
+
+    np.testing.assert_allclose(float(loss_sharded), float(loss_single), rtol=1e-5)
+    a = np.asarray(v1["batch_stats"]["block"]["norm"]["mean"])
+    b = np.asarray(v2["batch_stats"]["block"]["norm"]["mean"])
+    np.testing.assert_allclose(a, b, atol=1e-5)

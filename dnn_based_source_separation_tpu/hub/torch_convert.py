@@ -149,14 +149,67 @@ def convert_conv_tasnet(state_dict: Mapping, config: Mapping) -> Dict:
 
 def build_from_torch_checkpoint(checkpoint_path: str):
     """Load a reference .pth checkpoint (config-in-checkpoint) and return
-    (model, params). Requires torch for deserialization."""
+    (model, params). Requires torch for deserialization.
+
+    The reference checkpoint stores only the config dict + state_dict
+    (driver.py:208-226), so the architecture is inferred from distinctive
+    config keys: sep_chunk_size -> DPRNN-TasNet, sep_num_layers_intra ->
+    SepFormer, n_bins -> Open-Unmix, otherwise Conv-TasNet.
+    """
     import torch
 
-    from ..models import ConvTasNet
+    from ..models import ConvTasNet, DPRNNTasNet, OpenUnmix, SepFormer
 
     blob = torch.load(checkpoint_path, map_location="cpu")
     config = {k: v for k, v in blob.items() if k not in ("state_dict", "optim_dict")}
     state_dict = blob["state_dict"]
+
+    if "sep_num_layers_intra" in config or any("dptransformer" in k for k in state_dict):
+        model = SepFormer(
+            n_basis=config["n_basis"], kernel_size=config["kernel_size"],
+            stride=config.get("stride"),
+            enc_nonlinear=config.get("enc_nonlinear"),
+            sep_bottleneck_channels=config.get("sep_bottleneck_channels", 256),
+            sep_chunk_size=config.get("sep_chunk_size", 250),
+            sep_hop_size=config.get("sep_hop_size", 125),
+            sep_num_blocks=config.get("sep_num_blocks", 2),
+            sep_num_layers_intra=config.get("sep_num_layers_intra", config.get("sep_num_layers", 8)),
+            sep_num_layers_inter=config.get("sep_num_layers_inter", config.get("sep_num_layers", 8)),
+            sep_num_heads_intra=config.get("sep_num_heads_intra", config.get("sep_num_heads", 8)),
+            sep_num_heads_inter=config.get("sep_num_heads_inter", config.get("sep_num_heads", 8)),
+            sep_d_ff_intra=config.get("sep_d_ff_intra", 1024),
+            sep_d_ff_inter=config.get("sep_d_ff_inter", 1024),
+            mask_nonlinear=config.get("mask_nonlinear", "relu"),
+            causal=config.get("causal", False), n_sources=config.get("n_sources", 2),
+        )
+        return model, convert_sepformer(state_dict, config)
+
+    if "sep_chunk_size" in config and any("dprnn" in k for k in state_dict):
+        model = DPRNNTasNet(
+            n_basis=config["n_basis"], kernel_size=config["kernel_size"],
+            stride=config.get("stride"),
+            enc_basis=config.get("enc_basis", "trainable"),
+            dec_basis=config.get("dec_basis", "trainable"),
+            enc_nonlinear=config.get("enc_nonlinear"),
+            sep_bottleneck_channels=config.get("sep_bottleneck_channels", 64),
+            sep_hidden_channels=config.get("sep_hidden_channels", 128),
+            sep_chunk_size=config.get("sep_chunk_size", 100),
+            sep_hop_size=config.get("sep_hop_size", 50),
+            sep_num_blocks=config.get("sep_num_blocks", 6),
+            mask_nonlinear=config.get("mask_nonlinear", "sigmoid"),
+            causal=config.get("causal", False), n_sources=config.get("n_sources", 2),
+        )
+        return model, convert_dprnn_tasnet(state_dict, config)
+
+    if "n_bins" in config and "rnn.weight_ih_l0" in state_dict:
+        model = OpenUnmix(
+            in_channels=config["in_channels"],
+            hidden_channels=config.get("hidden_channels", 512),
+            num_layers=config.get("num_layers", 3),
+            n_bins=config["n_bins"], max_bin=config.get("max_bin"),
+            dropout=config.get("dropout"), causal=config.get("causal", False),
+        )
+        return model, convert_open_unmix(state_dict, config)
 
     model = ConvTasNet(
         n_basis=config["n_basis"], kernel_size=config["kernel_size"],
@@ -175,8 +228,7 @@ def build_from_torch_checkpoint(checkpoint_path: str):
         mask_nonlinear=config.get("mask_nonlinear", "sigmoid"),
         causal=config.get("causal", False), n_sources=config.get("n_sources", 2),
     )
-    params = convert_conv_tasnet(state_dict, config)
-    return model, params
+    return model, convert_conv_tasnet(state_dict, config)
 
 
 def convert_dprnn_tasnet(state_dict: Mapping, config: Mapping) -> Dict:
@@ -350,3 +402,116 @@ def convert_sepformer(state_dict: Mapping, config: Mapping) -> Dict:
         sep[f"block{b}"] = blk
     p["separator"] = sep
     return {"params": p}
+
+
+def conv_transpose2d_weight(w) -> np.ndarray:
+    """torch ConvTranspose2d (in, out, kh, kw) -> flax (kh, kw, in, out)."""
+    return np.transpose(_np(w), (2, 3, 0, 1))
+
+
+def _bn_params(state_dict: Mapping, prefix: str):
+    """torch BatchNorm -> (flax params, batch stats)."""
+    params = {
+        "scale": _np(state_dict[f"{prefix}.weight"]),
+        "bias": _np(state_dict[f"{prefix}.bias"]),
+    }
+    stats = {
+        "mean": _np(state_dict[f"{prefix}.running_mean"]),
+        "var": _np(state_dict[f"{prefix}.running_var"]),
+    }
+    return params, stats
+
+
+def _conv2d_params(state_dict: Mapping, prefix: str):
+    out = {"kernel": conv2d_weight(state_dict[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in state_dict:
+        out["bias"] = _np(state_dict[f"{prefix}.bias"])
+    return out
+
+
+def _d2block_params(state_dict: Mapping, prefix: str, depth: int):
+    """Reference D2Block (d2net.py:100) -> our d3net.D2Block {dense:{conv_block{i}}}."""
+    params, stats = {}, {}
+    for i in range(depth):
+        blk_p, blk_s = {}, {}
+        norm_p, norm_s = _bn_params(state_dict, f"{prefix}.net.{i}.norm2d")
+        blk_p["norm2d"] = norm_p
+        blk_s["norm2d"] = norm_s
+        blk_p["conv2d"] = _conv2d_params(state_dict, f"{prefix}.net.{i}.conv2d")
+        params[f"conv_block{i}"] = blk_p
+        stats[f"conv_block{i}"] = blk_s
+    return {"dense": params}, {"dense": stats}
+
+
+def _d3block_params(state_dict: Mapping, prefix: str, num_d2blocks: int, depth: int):
+    params, stats = {}, {}
+    for k in range(num_d2blocks):
+        p, s = _d2block_params(state_dict, f"{prefix}.net.{k}", depth)
+        params[f"d2block{k}"] = p
+        stats[f"d2block{k}"] = s
+    return params, stats
+
+
+def convert_d3net(state_dict: Mapping, config: Mapping) -> Dict:
+    """Reference D3Net state_dict -> flax variables (params + batch_stats).
+
+    config mirrors the band-structured YAML (utils/config.py): per-band
+    dicts for growth_rate/num_d2blocks/depth plus 'final' keys.
+    """
+    bands = list(config["bands"]) + ["full"]
+    params: Dict = {}
+    stats: Dict = {}
+
+    params["scale_in"] = _np(state_dict["scale_in"])
+    params["bias_in"] = _np(state_dict["bias_in"])
+    params["scale_out"] = _np(state_dict["scale_out"])
+    params["bias_out"] = _np(state_dict["bias_out"])
+
+    for band in bands:
+        bp: Dict = {}
+        bs: Dict = {}
+        ref = f"net.{band}"
+        gr = config["growth_rate"][band]
+        nd2 = config["num_d2blocks"][band]
+        depth = config["depth"][band]
+        n_stages = len(gr)
+        n_enc = n_stages // 2
+
+        bp["conv2d"] = _conv2d_params(state_dict, f"{ref}.conv2d")
+        for i in range(n_enc):
+            p, s = _d3block_params(state_dict, f"{ref}.encoder.net.{i}.d3block", nd2[i], depth[i])
+            bp[f"encoder{i}"] = p
+            bs[f"encoder{i}"] = s
+        p, s = _d3block_params(state_dict, f"{ref}.bottleneck_conv2d", nd2[n_enc], depth[n_enc])
+        bp["bottleneck"] = p
+        bs["bottleneck"] = s
+        for j, idx in enumerate(range(n_enc + 1, n_stages)):
+            np_, ns_ = _bn_params(state_dict, f"{ref}.decoder.net.{j}.norm2d")
+            bp[f"decoder{j}_norm"] = np_
+            bs[f"decoder{j}_norm"] = ns_
+            bp[f"decoder{j}_up"] = {
+                "kernel": conv_transpose2d_weight(state_dict[f"{ref}.decoder.net.{j}.upsample2d.weight"]),
+                "bias": _np(state_dict[f"{ref}.decoder.net.{j}.upsample2d.bias"]),
+            }
+            p, s = _d3block_params(state_dict, f"{ref}.decoder.net.{j}.d3block", nd2[idx], depth[idx])
+            bp[f"decoder{j}"] = p
+            bs[f"decoder{j}"] = s
+        if f"{ref}.pointwise_conv2d.0.weight" in state_dict:
+            np_, ns_ = _bn_params(state_dict, f"{ref}.pointwise_conv2d.0")
+            bp["pointwise_norm"] = np_
+            bs["pointwise_norm"] = ns_
+            bp["pointwise_conv2d"] = _conv2d_params(state_dict, f"{ref}.pointwise_conv2d.1")
+        params[f"net_{band}"] = bp
+        stats[f"net_{band}"] = bs
+
+    # Final D2 block + BN + GLU head.
+    fin = config["final"]
+    p, s = _d2block_params(state_dict, "d2block", fin["depth"])
+    params["d2block"], stats["d2block"] = p, s
+    np_, ns_ = _bn_params(state_dict, "norm2d")
+    params["norm2d"], stats["norm2d"] = np_, ns_
+    params["glu2d"] = {
+        "map": _conv2d_params(state_dict, "glu2d.map"),
+        "gate": _conv2d_params(state_dict, "glu2d.map_gate"),
+    }
+    return {"params": params, "batch_stats": stats}

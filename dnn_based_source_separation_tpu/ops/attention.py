@@ -51,10 +51,12 @@ class MultiheadAttention(nn.Module):
 
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(jnp.asarray(d, x.dtype))
         if self.causal:
-            causal_mask = jnp.tril(jnp.ones((T, T), bool))
-            scores = jnp.where(causal_mask, scores, -jnp.inf)
+            # Constant additive bias (trace-time numpy): avoids a runtime
+            # select, which blocks XLA fusion on TPU (see PReLU note).
+            bias = np.triu(np.full((T, T), -1e9, np.float32), k=1)
+            scores = scores + jnp.asarray(bias, scores.dtype)
         if attn_mask is not None:
-            scores = jnp.where(attn_mask, scores, -jnp.inf)
+            scores = scores + jnp.where(attn_mask, 0.0, -1e9).astype(scores.dtype)
         attn = nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, E)

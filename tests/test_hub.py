@@ -311,15 +311,9 @@ def test_d3net_conversion_structure():
             c = gr_list[i]
 
     def d3(prefix, cin, gr, nd2, depth):
-        c = cin
-        for k in range(nd2):
-            cout = sum([gr] * (nd2 - k)) if False else None
-            # growth per D2Block: sum(growth_rate[k:]) with scalar per-stage gr
-            pass
-        # Mirror D3Block structure: growth_rate list = [gr]*nd2? No --
-        # D3Block growth_rate is the stage growth (int), expanded [g]*nd2.
-        g = gr
-        glist = [g] * nd2
+        # D3Block growth_rate is the per-stage growth (int) expanded to
+        # [gr]*nd2; D2Block k emits sum(glist[k:]) channels.
+        glist = [gr] * nd2
         c = cin
         for k in range(nd2):
             gout = sum(glist[k:])

@@ -133,3 +133,19 @@ def test_mixed_precision_train_step():
     leaf = jax.tree_util.tree_leaves(params["params"])[0]
     assert leaf.dtype == jnp2.float32
     assert losses[-1] < losses[0]
+
+
+def test_trainer_with_mesh_end_to_end(tmp_path):
+    mesh = make_mesh(8)
+    model = tiny_model()
+    train_ds = SyntheticMixtureDataset(n_items=16, samples=800, seed=3)
+    valid_ds = SyntheticMixtureDataset(n_items=8, samples=800, seed=4)
+    train_loader = DataLoader(train_ds, batch_size=8, shuffle=True)
+    valid_loader = DataLoader(valid_ds, batch_size=8)
+    criterion = PIT1d(NegSISDR(), n_sources=2)
+    opt = make_optimizer("adam", 1e-3, max_norm=5.0)
+    cfg = TrainerConfig(epochs=1, exp_dir=str(tmp_path / "exp"), save_valid_wavs=0)
+    trainer = Trainer(model, train_loader, valid_loader, criterion, opt, cfg, mesh=mesh)
+    trainer.run()
+    assert len(trainer.train_loss) == 1
+    assert np.isfinite(trainer.train_loss[0])

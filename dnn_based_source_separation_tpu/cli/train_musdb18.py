@@ -138,9 +138,17 @@ def main(args=None):
         continue_from=args.continue_from, overwrite=bool(args.overwrite),
         sample_rate=args.sample_rate, save_valid_wavs=0,
     )
+    # UMX/X-UMX apply inter-layer LSTM dropout when training; D3Net has none.
+    import jax
+
+    dropout_rng = (
+        jax.random.PRNGKey(args.seed)
+        if args.model in ("umx", "xumx") and args.dropout > 0.0
+        else None
+    )
     trainer = Trainer(
         model, train_loader, valid_loader, criterion, optimizer, config,
-        mesh=mesh, train_kwargs={"train": True},
+        mesh=mesh, train_kwargs={"train": True}, dropout_rng=dropout_rng,
     )
     trainer.run()
     return trainer

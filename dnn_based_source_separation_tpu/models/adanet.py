@@ -39,12 +39,12 @@ class ADANet(nn.Module, SeparationModelMixin):
     permute_anchors: bool = False
     eps: float = EPS
 
-    def __call__(self, input, threshold_weight=None, n_sources: int = 2):
-        output, _, _ = self.extract_latent(input, threshold_weight, n_sources)
+    def __call__(self, input, threshold_weight=None, n_sources: int = 2, train: bool = False):
+        output, _, _ = self.extract_latent(input, threshold_weight, n_sources, train=train)
         return output
 
     @nn.compact
-    def extract_latent(self, input, threshold_weight=None, n_sources: int = 2):
+    def extract_latent(self, input, threshold_weight=None, n_sources: int = 2, train: bool = False):
         B, _, F, T = input.shape
         D = self.embed_dim
         eps = self.eps
@@ -67,8 +67,9 @@ class ADANet(nn.Module, SeparationModelMixin):
         x = jnp.transpose(x[:, 0], (0, 2, 1))
         x = choose_rnn(
             "lstm", self.hidden_channels, num_layers=self.num_blocks,
-            bidirectional=not self.causal, parent_name="rnn",
-        )(x)
+            bidirectional=not self.causal, dropout=self.dropout,
+            parent_name="rnn",
+        )(x, train=train)
         x = nn.Dense(self.n_bins * D, name="fc")(x)
         x = x.reshape(B, T, D, F)
         latent = jnp.transpose(x, (0, 2, 3, 1)).reshape(B, D, F * T).transpose(0, 2, 1)

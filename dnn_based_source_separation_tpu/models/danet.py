@@ -39,11 +39,11 @@ class DANet(nn.Module, SeparationModelMixin):
     def setup(self):
         self.rnn = choose_rnn(
             "lstm", self.hidden_channels, num_layers=self.num_blocks,
-            bidirectional=not self.causal,
+            bidirectional=not self.causal, dropout=self.dropout,
         )
         self.fc = nn.Dense(self.n_bins * self.embed_dim)
 
-    def _embed(self, input):
+    def _embed(self, input, train: bool = False):
         """(B, 1, F, T) amplitude -> latent (B, F*T, D)."""
         B, _, F, T = input.shape
         if self.take_log and self.take_db:
@@ -55,7 +55,7 @@ class DANet(nn.Module, SeparationModelMixin):
         else:
             x = input
         x = jnp.transpose(x[:, 0], (0, 2, 1))  # (B, T, F)
-        x = self.rnn(x)
+        x = self.rnn(x, train=train)
         x = self.fc(x)  # (B, T, D*F)
         x = x.reshape(B, T, self.embed_dim, F)
         x = jnp.transpose(x, (0, 2, 3, 1))  # (B, D, F, T)
@@ -71,11 +71,11 @@ class DANet(nn.Module, SeparationModelMixin):
             return nn.softmax(similarity, axis=1)
         raise ValueError(f"Unsupported mask nonlinearity: {self.mask_nonlinear}")
 
-    def __call__(self, input, assignment=None, threshold_weight=None, n_sources=None):
-        output, _, _ = self.extract_latent(input, assignment, threshold_weight, n_sources)
+    def __call__(self, input, assignment=None, threshold_weight=None, n_sources=None, train: bool = False):
+        output, _, _ = self.extract_latent(input, assignment, threshold_weight, n_sources, train=train)
         return output
 
-    def extract_latent(self, input, assignment=None, threshold_weight=None, n_sources=None):
+    def extract_latent(self, input, assignment=None, threshold_weight=None, n_sources=None, train: bool = False):
         """input: (B, 1, F, T) amplitude.
 
         Train (assignment given): attractors = weighted embedding means.
@@ -83,7 +83,7 @@ class DANet(nn.Module, SeparationModelMixin):
         Returns (output (B, n_src, F, T), latent (B, F, T, D), attractor).
         """
         B, _, F, T = input.shape
-        latent = self._embed(input)  # (B, F*T, D)
+        latent = self._embed(input, train=train)  # (B, F*T, D)
 
         if assignment is None:
             if n_sources is None:

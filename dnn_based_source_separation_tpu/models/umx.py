@@ -84,8 +84,9 @@ class OpenUnmix(nn.Module, SeparationModelMixin):
         rnn_hidden = H if self.causal else H // 2
         x_rnn = choose_rnn(
             self.rnn_type, rnn_hidden, num_layers=self.num_layers,
-            bidirectional=not self.causal, parent_name="rnn",
-        )(x)
+            bidirectional=not self.causal, dropout=self.dropout or 0.0,
+            parent_name="rnn",
+        )(x, train=train)
         x = jnp.concatenate([x, x_rnn], axis=-1)  # (B, T, 2H)
 
         x = TransformBlock1d(H, nonlinear="relu", name="net0")(x, train=train)

@@ -68,8 +68,9 @@ class CrossNetOpenUnmix(nn.Module, SeparationModelMixin):
             src_in = rnn_in if self.bridge else stacked[idx]
             h_rnn = choose_rnn(
                 self.rnn_type, rnn_hidden, num_layers=self.num_layers,
-                bidirectional=not self.causal, parent_name=f"rnn_{source}",
-            )(src_in)
+                bidirectional=not self.causal, dropout=self.dropout or 0.0,
+                parent_name=f"rnn_{source}",
+            )(src_in, train=train)
             rnn_cat.append(jnp.concatenate([stacked[idx], h_rnn], axis=-1))
         rnn_cat = jnp.stack(rnn_cat, axis=0)  # (n_src, B, T, 2H)
 

@@ -35,9 +35,10 @@ class MultiheadAttention(nn.Module):
     embed_dim: int
     num_heads: int
     causal: bool = False
+    dropout: float = 0.0  # on attention weights (torch MHA semantics)
 
     @nn.compact
-    def __call__(self, x, attn_mask: Optional[jnp.ndarray] = None):
+    def __call__(self, x, attn_mask: Optional[jnp.ndarray] = None, train: bool = False):
         B, T, E = x.shape
         h = self.num_heads
         d = E // h
@@ -58,6 +59,8 @@ class MultiheadAttention(nn.Module):
         if attn_mask is not None:
             scores = scores + jnp.where(attn_mask, 0.0, -1e9).astype(scores.dtype)
         attn = nn.softmax(scores, axis=-1)
+        if self.dropout > 0.0:
+            attn = nn.Dropout(rate=self.dropout, deterministic=not train)(attn)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, E)
         return nn.Dense(E, name="out_proj")(out)
@@ -71,18 +74,28 @@ class TransformerEncoderLayer(nn.Module):
     d_ff: int = 2048
     nonlinear: str = "relu"
     norm_first: bool = False
+    dropout: float = 0.0  # torch placement: attn weights, post-attn, FFN interior, post-FFN
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         act: Callable = {"relu": nn.relu, "gelu": nn.gelu}[self.nonlinear]
+
+        def drop(h, name):
+            if self.dropout > 0.0:
+                h = nn.Dropout(rate=self.dropout, deterministic=not train, name=name)(h)
+            return h
 
         def ffn(h):
             h = nn.Dense(self.d_ff, name="linear1")(h)
             h = act(h)
-            return nn.Dense(self.d_model, name="linear2")(h)
+            h = drop(h, "dropout_ffn")
+            return drop(nn.Dense(self.d_model, name="linear2")(h), "dropout2")
 
-        attn = lambda h: MultiheadAttention(self.d_model, self.num_heads, name="self_attn")(h)
+        attn = lambda h: drop(
+            MultiheadAttention(self.d_model, self.num_heads, dropout=self.dropout, name="self_attn")(h, train=train),
+            "dropout1",
+        )
         norm1 = nn.LayerNorm(epsilon=self.eps, name="norm1")
         norm2 = nn.LayerNorm(epsilon=self.eps, name="norm2")
 

@@ -73,14 +73,20 @@ def _rnn_scan(xw: jnp.ndarray, w_hh: jnp.ndarray, hidden_size: int):
 
 
 class LSTM(nn.Module):
-    """(B, T, F) -> (B, T, D*H); D = 2 if bidirectional. Stacked layers."""
+    """(B, T, F) -> (B, T, D*H); D = 2 if bidirectional. Stacked layers.
+
+    `dropout` follows torch nn.LSTM semantics: applied to each layer's
+    output except the last, active only when `train=True` (requires a
+    'dropout' rng in apply).
+    """
 
     hidden_size: int
     num_layers: int = 1
     bidirectional: bool = False
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         H = self.hidden_size
         for layer in range(self.num_layers):
             outs = []
@@ -95,6 +101,8 @@ class LSTM(nn.Module):
                 hs = _lstm_scan(xw, w_hh, H)
                 outs.append(jnp.flip(hs, axis=1) if direction else hs)
             x = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+            if self.dropout > 0.0 and layer < self.num_layers - 1:
+                x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
         return x
 
 
@@ -102,9 +110,10 @@ class GRU(nn.Module):
     hidden_size: int
     num_layers: int = 1
     bidirectional: bool = False
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         H = self.hidden_size
         for layer in range(self.num_layers):
             outs = []
@@ -120,6 +129,8 @@ class GRU(nn.Module):
                 hs = _gru_scan(xw, w_hh, b_hh, H)
                 outs.append(jnp.flip(hs, axis=1) if direction else hs)
             x = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+            if self.dropout > 0.0 and layer < self.num_layers - 1:
+                x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
         return x
 
 
@@ -127,9 +138,10 @@ class RNN(nn.Module):
     hidden_size: int
     num_layers: int = 1
     bidirectional: bool = False
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         H = self.hidden_size
         for layer in range(self.num_layers):
             outs = []
@@ -144,12 +156,14 @@ class RNN(nn.Module):
                 hs = _rnn_scan(xw, w_hh, H)
                 outs.append(jnp.flip(hs, axis=1) if direction else hs)
             x = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+            if self.dropout > 0.0 and layer < self.num_layers - 1:
+                x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
         return x
 
 
-def choose_rnn(name: str, hidden_size: int, num_layers: int = 1, bidirectional: bool = False, parent_name: Optional[str] = None):
+def choose_rnn(name: str, hidden_size: int, num_layers: int = 1, bidirectional: bool = False, dropout: float = 0.0, parent_name: Optional[str] = None):
     """Factory mirroring reference `src/utils/model.py:22`."""
     table = {"rnn": RNN, "lstm": LSTM, "gru": GRU}
     if name not in table:
         raise NotImplementedError(f"Unsupported rnn type: {name}")
-    return table[name](hidden_size=hidden_size, num_layers=num_layers, bidirectional=bidirectional, name=parent_name)
+    return table[name](hidden_size=hidden_size, num_layers=num_layers, bidirectional=bidirectional, dropout=dropout, name=parent_name)

@@ -61,6 +61,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     train_kwargs: Optional[dict] = None,
     compute_dtype=None,
+    with_dropout_rng: bool = False,
 ) -> Callable:
     """Build jitted (variables, opt_state, mixture, sources) ->
     (variables, opt_state, loss).
@@ -75,6 +76,12 @@ def make_train_step(
     compute_dtype=jnp.bfloat16 enables mixed precision: the forward/backward
     run in bf16 (params cast inside the step, inputs cast), while the master
     params, loss and Adam state stay float32.
+
+    with_dropout_rng=True changes the signature to (variables, opt_state,
+    mixture, sources, rng) -> (variables, opt_state, loss, next_rng); the
+    rng is split inside the compiled step and fed to apply as the 'dropout'
+    stream (needed by models whose `train=True` path uses nn.Dropout, e.g.
+    UMX dropout=0.4 between LSTM layers, reference open_unmix models.py).
     """
     import jax.numpy as jnp
 
@@ -86,9 +93,10 @@ def make_train_step(
             tree,
         )
 
-    def train_step(variables, opt_state, mixture, sources):
+    def _step_core(variables, opt_state, mixture, sources, dropout_key=None):
         params = variables["params"]
         aux = {k: v for k, v in variables.items() if k != "params"}
+        rngs = {"dropout": dropout_key} if dropout_key is not None else {}
 
         def loss_fn(p):
             if compute_dtype is not None:
@@ -98,9 +106,9 @@ def make_train_step(
                 v = {"params": p, **aux}
                 mix_in = mixture
             if aux:
-                estimates, new_aux = model.apply(v, mix_in, mutable=list(aux.keys()), **tk)
+                estimates, new_aux = model.apply(v, mix_in, mutable=list(aux.keys()), rngs=rngs, **tk)
             else:
-                estimates, new_aux = model.apply(v, mix_in, **tk), {}
+                estimates, new_aux = model.apply(v, mix_in, rngs=rngs, **tk), {}
             if compute_dtype is not None:
                 estimates = jax.tree_util.tree_map(
                     lambda e: e.astype(jnp.float32) if hasattr(e, "dtype") else e, estimates
@@ -115,15 +123,30 @@ def make_train_step(
         params = optax.apply_updates(params, updates)
         return {"params": params, **dict(new_aux)}, opt_state, loss
 
+    if with_dropout_rng:
+        def train_step(variables, opt_state, mixture, sources, rng):
+            dropout_key, next_rng = jax.random.split(rng)
+            variables, opt_state, loss = _step_core(variables, opt_state, mixture, sources, dropout_key)
+            return variables, opt_state, loss, next_rng
+    else:
+        def train_step(variables, opt_state, mixture, sources):
+            return _step_core(variables, opt_state, mixture, sources)
+
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0, 1))
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    if with_dropout_rng:
+        in_sh = (repl, repl, data, data, repl)
+        out_sh = (repl, repl, repl, repl)
+    else:
+        in_sh = (repl, repl, data, data)
+        out_sh = (repl, repl, repl)
     return jax.jit(
         train_step,
-        in_shardings=(repl, repl, data, data),
-        out_shardings=(repl, repl, repl),
+        in_shardings=in_sh,
+        out_shardings=out_sh,
         donate_argnums=(0, 1),
     )
 

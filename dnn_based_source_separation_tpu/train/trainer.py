@@ -63,6 +63,7 @@ class Trainer:
         eval_criterion: Callable | None = None,
         train_kwargs: dict | None = None,
         compute_dtype=None,
+        dropout_rng=None,
     ):
         self.model = model
         self.train_loader = train_loader
@@ -78,7 +79,13 @@ class Trainer:
         for d in (self.model_dir, self.loss_dir, self.sample_dir):
             os.makedirs(d, exist_ok=True)
 
-        self.train_step = make_train_step(model, criterion, optimizer, mesh=mesh, train_kwargs=train_kwargs, compute_dtype=compute_dtype)
+        # dropout_rng (a jax PRNGKey) enables stochastic nn.Dropout training
+        # paths; the key is split inside the compiled step each batch.
+        self.dropout_rng = dropout_rng
+        self.train_step = make_train_step(
+            model, criterion, optimizer, mesh=mesh, train_kwargs=train_kwargs,
+            compute_dtype=compute_dtype, with_dropout_rng=dropout_rng is not None,
+        )
         self.eval_step = make_eval_step(model, eval_criterion or criterion, mesh=mesh)
 
         if config.continue_from:
@@ -165,9 +172,14 @@ class Trainer:
             batch = (jnp.asarray(mixture), jnp.asarray(sources))
             if self.mesh is not None:
                 batch = shard_batch(self.mesh, batch)
-            self.params, self.opt_state, loss = self.train_step(
-                self.params, self.opt_state, *batch
-            )
+            if self.dropout_rng is not None:
+                self.params, self.opt_state, loss, self.dropout_rng = self.train_step(
+                    self.params, self.opt_state, *batch, self.dropout_rng
+                )
+            else:
+                self.params, self.opt_state, loss = self.train_step(
+                    self.params, self.opt_state, *batch
+                )
             audio_seconds += batch[0].shape[0] * batch[0].shape[-1] / cfg.sample_rate
             device_losses.append(loss)
             n_batches += 1

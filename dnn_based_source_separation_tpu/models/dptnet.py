@@ -37,14 +37,20 @@ class ImprovedTransformer(nn.Module):
     num_heads: int = 4
     norm: bool = True
     nonlinear: str = "relu"
+    dropout: float = 0.0
     causal: bool = False
     eps: float = EPS
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         # Multi-head attention block (reference :482-527).
         residual = x
-        h = MultiheadAttention(self.num_features, self.num_heads, name="multihead_attn")(x)
+        h = MultiheadAttention(
+            self.num_features, self.num_heads, dropout=self.dropout,
+            name="multihead_attn",
+        )(x, train=train)
+        if self.dropout > 0.0:
+            h = nn.Dropout(rate=self.dropout, deterministic=not train)(h)
         h = h + residual
         if self.norm:
             norm_name = "cLN" if self.causal else "gLN"
@@ -53,6 +59,8 @@ class ImprovedTransformer(nn.Module):
         residual = h
         f = choose_rnn("lstm", self.hidden_channels, bidirectional=not self.causal, parent_name="rnn")(h)
         f = choose_nonlinear(self.nonlinear)(f)
+        if self.dropout > 0.0:
+            f = nn.Dropout(rate=self.dropout, deterministic=not train)(f)
         f = nn.Dense(self.num_features, name="fc")(f)
         h = f + residual
         if self.norm:
@@ -67,25 +75,26 @@ class DualPathTransformerBlock(nn.Module):
     num_heads: int = 4
     norm: bool = True
     nonlinear: str = "relu"
+    dropout: float = 0.0
     causal: bool = False
     eps: float = EPS
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         B, S, K, N = x.shape
         h = x.reshape(B * S, K, N)
         h = ImprovedTransformer(
             N, self.hidden_channels, num_heads=self.num_heads, norm=self.norm,
-            nonlinear=self.nonlinear, causal=False, eps=self.eps,
-            name="intra_chunk_block",
-        )(h)
+            nonlinear=self.nonlinear, dropout=self.dropout, causal=False,
+            eps=self.eps, name="intra_chunk_block",
+        )(h, train=train)
         x = h.reshape(B, S, K, N)
         h = jnp.swapaxes(x, 1, 2).reshape(B * K, S, N)
         h = ImprovedTransformer(
             N, self.hidden_channels, num_heads=self.num_heads, norm=self.norm,
-            nonlinear=self.nonlinear, causal=self.causal, eps=self.eps,
-            name="inter_chunk_block",
-        )(h)
+            nonlinear=self.nonlinear, dropout=self.dropout, causal=self.causal,
+            eps=self.eps, name="inter_chunk_block",
+        )(h, train=train)
         return jnp.swapaxes(h.reshape(B, K, S, N), 1, 2)
 
 
@@ -101,13 +110,14 @@ class Separator(nn.Module):
     num_heads: int = 4
     norm: bool = True
     nonlinear: str = "relu"
+    dropout: float = 0.0
     mask_nonlinear: str = "relu"
     causal: bool = False
     n_sources: int = 2
     eps: float = EPS
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         B, T, N = x.shape
         K = self.chunk_size
         P = self.hop_size or K // 2
@@ -127,9 +137,10 @@ class Separator(nn.Module):
             h = DualPathTransformerBlock(
                 self.bottleneck_channels, self.hidden_channels,
                 num_heads=self.num_heads, norm=self.norm,
-                nonlinear=self.nonlinear, causal=self.causal, eps=self.eps,
+                nonlinear=self.nonlinear, dropout=self.dropout,
+                causal=self.causal, eps=self.eps,
                 name=f"block{idx}",
-            )(h)
+            )(h, train=train)
         h = overlap_add(h, P)
         h = h[:, pl : h.shape[1] - pr]
         h = PReLU(name="prelu")(h)
@@ -169,6 +180,7 @@ class DPTNet(nn.Module, LatentMaskingMixin, SeparationModelMixin):
     sep_num_heads: int = 4
     sep_norm: bool = True
     sep_nonlinear: str = "relu"
+    sep_dropout: float = 0.0
     mask_nonlinear: str = "relu"
     causal: bool = False
     n_sources: int = 2
@@ -197,6 +209,7 @@ class DPTNet(nn.Module, LatentMaskingMixin, SeparationModelMixin):
             num_heads=self.sep_num_heads,
             norm=self.sep_norm,
             nonlinear=self.sep_nonlinear,
+            dropout=self.sep_dropout,
             mask_nonlinear=self.mask_nonlinear,
             causal=self.causal,
             n_sources=self.n_sources,

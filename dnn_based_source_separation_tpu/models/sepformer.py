@@ -42,18 +42,19 @@ class _PathTransformer(nn.Module):
     d_ff: int = 1024
     norm: bool = True
     nonlinear: str = "relu"
+    dropout: float = 0.0
     eps: float = EPS
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         B, L, E = x.shape
         pe = positional_encoding(L, E)
         h = 2.0 * x + pe[None]
         for idx in range(self.num_layers):
             h = TransformerEncoderLayer(
                 E, self.num_heads, d_ff=self.d_ff, nonlinear=self.nonlinear,
-                name=f"layer{idx}",
-            )(h)
+                dropout=self.dropout, name=f"layer{idx}",
+            )(h, train=train)
         if self.norm:
             h = choose_layer_norm("gLN", E, eps=self.eps)(h)
         return h
@@ -69,29 +70,30 @@ class SepFormerBlock(nn.Module):
     d_ff_inter: int = 1024
     norm: bool = True
     nonlinear: str = "relu"
+    dropout: float = 0.0
     causal: bool = False
     eps: float = EPS
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         B, S, K, N = x.shape
         # Intra: sequences are chunks -> (B*S, K, N)
         residual = x
         h = x.reshape(B * S, K, N)
         h = _PathTransformer(
             N, self.num_layers_intra, self.num_heads_intra, self.d_ff_intra,
-            norm=self.norm, nonlinear=self.nonlinear, eps=self.eps,
-            name="intra_transformer",
-        )(h)
+            norm=self.norm, nonlinear=self.nonlinear, dropout=self.dropout,
+            eps=self.eps, name="intra_transformer",
+        )(h, train=train)
         x = h.reshape(B, S, K, N) + residual
         # Inter: sequences run across chunks -> (B*K, S, N)
         residual = x
         h = jnp.swapaxes(x, 1, 2).reshape(B * K, S, N)
         h = _PathTransformer(
             N, self.num_layers_inter, self.num_heads_inter, self.d_ff_inter,
-            norm=self.norm, nonlinear=self.nonlinear, eps=self.eps,
-            name="inter_transformer",
-        )(h)
+            norm=self.norm, nonlinear=self.nonlinear, dropout=self.dropout,
+            eps=self.eps, name="inter_transformer",
+        )(h, train=train)
         x = jnp.swapaxes(h.reshape(B, K, S, N), 1, 2) + residual
         return x
 
@@ -112,13 +114,14 @@ class Separator(nn.Module):
     d_ff_inter: int = 1024
     norm: bool = True
     nonlinear: str = "relu"
+    dropout: float = 0.0
     mask_nonlinear: str = "relu"
     causal: bool = False
     n_sources: int = 2
     eps: float = EPS
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         B, T, N = x.shape
         K, P = self.chunk_size, self.hop_size
 
@@ -141,10 +144,11 @@ class Separator(nn.Module):
                 d_ff_inter=self.d_ff_inter,
                 norm=self.norm,
                 nonlinear=self.nonlinear,
+                dropout=self.dropout,
                 causal=self.causal,
                 eps=self.eps,
                 name=f"block{idx}",
-            )(h)
+            )(h, train=train)
         h = overlap_add(h, P)
         h = h[:, pl : h.shape[1] - pr]
 
@@ -191,6 +195,7 @@ class SepFormer(nn.Module, LatentMaskingMixin, SeparationModelMixin):
     sep_d_ff_inter: int = 1024
     sep_norm: bool = True
     sep_nonlinear: str = "relu"
+    sep_dropout: float = 0.0
     mask_nonlinear: str = "relu"
     causal: bool = False
     n_sources: int = 2
@@ -223,6 +228,7 @@ class SepFormer(nn.Module, LatentMaskingMixin, SeparationModelMixin):
             d_ff_inter=self.sep_d_ff_inter,
             norm=self.sep_norm,
             nonlinear=self.sep_nonlinear,
+            dropout=self.sep_dropout,
             mask_nonlinear=self.mask_nonlinear,
             causal=self.causal,
             n_sources=self.n_sources,

@@ -15,12 +15,16 @@ import jax.numpy as jnp
 class LatentMaskingMixin:
     """Forward pass shared by every time-domain masking TasNet."""
 
-    def __call__(self, input):
-        output, _ = self.extract_latent(input)
+    def __call__(self, input, train: bool = False):
+        output, _ = self.extract_latent(input, train=train)
         return output
 
-    def extract_latent(self, input):
-        """(B, C_in, T) -> ((B, n_sources, T), latent (B, n_src, T', N))."""
+    def extract_latent(self, input, train: bool = False):
+        """(B, C_in, T) -> ((B, n_sources, T), latent (B, n_src, T', N)).
+
+        `train` reaches the separator only when it declares dropout
+        (stochastic paths); filterbanks are always deterministic.
+        """
         B, C_in, T = input.shape
         stride = self._stride
 
@@ -31,12 +35,13 @@ class LatentMaskingMixin:
 
         w = self.encoder(x)  # (B, T', N), possibly complex
 
+        sep_kwargs = {"train": train} if getattr(self.separator, "dropout", 0.0) else {}
         if jnp.iscomplexobj(w):
             amplitude, phase = jnp.abs(w), jnp.angle(w)
-            mask = self.separator(amplitude)  # (B, n_src, T', F)
+            mask = self.separator(amplitude, **sep_kwargs)  # (B, n_src, T', F)
             w_hat = amplitude[:, None] * mask * jnp.exp(1j * phase[:, None])
         else:
-            mask = self.separator(w)
+            mask = self.separator(w, **sep_kwargs)
             w_hat = w[:, None] * mask  # (B, n_src, T', N)
 
         latent = w_hat

@@ -75,3 +75,34 @@ def test_train_step_with_dropout_rng():
     variables, opt_state, loss2, rng3 = step(variables, opt_state, x, t, rng2)
     assert np.isfinite(float(loss2))
     assert not np.array_equal(np.asarray(rng2), np.asarray(rng3))
+
+
+def test_sepformer_dptnet_dropout_knobs():
+    """sep_dropout threads to the separator stacks; inference stays exact."""
+    from dnn_based_source_separation_tpu.models.dptnet import DPTNet
+    from dnn_based_source_separation_tpu.models.sepformer import SepFormer
+
+    x = jnp.asarray(np.random.RandomState(6).randn(1, 1, 320), jnp.float32)
+    for cls, kwargs in (
+        (SepFormer, dict(n_basis=8, kernel_size=16, enc_basis="trainable",
+                         dec_basis="trainable", sep_bottleneck_channels=8,
+                         sep_chunk_size=10, sep_hop_size=5, sep_num_blocks=1,
+                         sep_num_layers_intra=1, sep_num_layers_inter=1,
+                         sep_num_heads_intra=2, sep_num_heads_inter=2,
+                         sep_d_ff_intra=8, sep_d_ff_inter=8, sep_dropout=0.3)),
+        (DPTNet, dict(n_basis=8, kernel_size=16, sep_bottleneck_channels=8,
+                      sep_hidden_channels=8, sep_chunk_size=10,
+                      sep_num_blocks=1, sep_num_heads=2, sep_dropout=0.3)),
+    ):
+        model = cls(**kwargs)
+        params = model.init(jax.random.PRNGKey(0), x)
+        y0 = model.apply(params, x)
+        y0b = model.apply(params, x)  # no rng needed at inference
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y0b))
+        ya = model.apply(params, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+        yb = model.apply(params, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
+        assert not np.allclose(np.asarray(ya), np.asarray(yb)), cls.__name__
+        # dropout=0 twin has the identical param structure (ckpt compatible)
+        plain = cls(**{**kwargs, "sep_dropout": 0.0})
+        p0 = plain.init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(params)

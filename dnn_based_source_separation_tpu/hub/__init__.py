@@ -13,5 +13,11 @@ from .torch_convert import (
     depthwise_conv1d_weight,
     lstm_params,
     convert_conv_tasnet,
+    convert_danet,
+    convert_dprnn_tasnet,
+    convert_dptnet,
+    convert_d3net,
+    convert_open_unmix,
+    convert_sepformer,
     build_from_torch_checkpoint,
 )

@@ -164,7 +164,27 @@ def build_from_torch_checkpoint(checkpoint_path: str):
     config = {k: v for k, v in blob.items() if k not in ("state_dict", "optim_dict")}
     state_dict = blob["state_dict"]
 
-    if "sep_num_layers_intra" in config or any("dptransformer" in k for k in state_dict):
+    if any("multihead_attn_block" in k for k in state_dict):
+        from ..models.dptnet import DPTNet
+
+        model = DPTNet(
+            n_basis=config["n_basis"], kernel_size=config["kernel_size"],
+            stride=config.get("stride"),
+            enc_basis=config.get("enc_basis", "trainable"),
+            dec_basis=config.get("dec_basis", "trainable"),
+            enc_nonlinear=config.get("enc_nonlinear"),
+            sep_bottleneck_channels=config.get("sep_bottleneck_channels", 64),
+            sep_hidden_channels=config.get("sep_hidden_channels", 256),
+            sep_chunk_size=config.get("sep_chunk_size", 100),
+            sep_hop_size=config.get("sep_hop_size"),
+            sep_num_blocks=config.get("sep_num_blocks", 6),
+            sep_num_heads=config.get("sep_num_heads", 4),
+            mask_nonlinear=config.get("mask_nonlinear", "relu"),
+            causal=config.get("causal", False), n_sources=config.get("n_sources", 2),
+        )
+        return model, convert_dptnet(state_dict, config)
+
+    if "sep_num_layers_intra" in config or any("intra_transformer" in k for k in state_dict):
         model = SepFormer(
             n_basis=config["n_basis"], kernel_size=config["kernel_size"],
             stride=config.get("stride"),
@@ -200,6 +220,20 @@ def build_from_torch_checkpoint(checkpoint_path: str):
             causal=config.get("causal", False), n_sources=config.get("n_sources", 2),
         )
         return model, convert_dprnn_tasnet(state_dict, config)
+
+    if "embed_dim" in config and "rnn.weight_ih_l0" in state_dict:
+        from ..models.danet import DANet
+
+        model = DANet(
+            n_bins=config["n_bins"], embed_dim=config["embed_dim"],
+            hidden_channels=config.get("hidden_channels", 300),
+            num_blocks=config.get("num_blocks", 4),
+            causal=config.get("causal", False),
+            mask_nonlinear=config.get("mask_nonlinear", "sigmoid"),
+            take_log=config.get("take_log", True),
+            take_db=config.get("take_db", False),
+        )
+        return model, convert_danet(state_dict, config)
 
     if "n_bins" in config and "rnn.weight_ih_l0" in state_dict:
         model = OpenUnmix(
@@ -400,6 +434,97 @@ def convert_sepformer(state_dict: Mapping, config: Mapping) -> Dict:
             sub["GlobalLayerNorm_0"] = _norm_params(state_dict, f"{ref}.norm.norm1d")
             blk[path] = sub
         sep[f"block{b}"] = blk
+    p["separator"] = sep
+    return {"params": p}
+
+
+def convert_danet(state_dict: Mapping, config: Mapping) -> Dict:
+    """Reference DANet state_dict -> flax params tree.
+
+    Reference paths (src/models/danet.py:47-48): rnn (nn.LSTM stacked
+    num_blocks deep) + fc (Linear to n_bins*embed_dim).
+    """
+    causal = bool(config.get("causal", False))
+    num_blocks = int(config.get("num_blocks", 4))
+    return {"params": {
+        "rnn": lstm_params(state_dict, "rnn", num_layers=num_blocks,
+                           bidirectional=not causal),
+        "fc": {
+            "kernel": dense_weight(state_dict["fc.weight"]),
+            "bias": _np(state_dict["fc.bias"]),
+        },
+    }}
+
+
+def _mha_params(state_dict: Mapping, prefix: str) -> Dict:
+    """torch nn.MultiheadAttention -> ops.attention.MultiheadAttention."""
+    return {
+        "in_proj": {
+            "kernel": dense_weight(state_dict[f"{prefix}.in_proj_weight"]),
+            "bias": _np(state_dict[f"{prefix}.in_proj_bias"]),
+        },
+        "out_proj": {
+            "kernel": dense_weight(state_dict[f"{prefix}.out_proj.weight"]),
+            "bias": _np(state_dict[f"{prefix}.out_proj.bias"]),
+        },
+    }
+
+
+def _improved_transformer_params(state_dict: Mapping, prefix: str, causal: bool) -> Dict:
+    """Reference DPTNet ImprovedTransformer (dptnet.py:463-575) -> our
+    models.dptnet.ImprovedTransformer.
+
+    Reference paths: {prefix}.multihead_attn_block.{multihead_attn,norm1d}
+    and {prefix}.subnet.{rnn,fc,norm1d}. Our two unnamed layer norms in one
+    compact scope auto-name as <Cls>_0 (post-attention) and <Cls>_1
+    (post-FFN).
+    """
+    norm_cls = "CumulativeLayerNorm" if causal else "GlobalLayerNorm"
+    return {
+        "multihead_attn": _mha_params(state_dict, f"{prefix}.multihead_attn_block.multihead_attn"),
+        f"{norm_cls}_0": _norm_params(state_dict, f"{prefix}.multihead_attn_block.norm1d"),
+        "rnn": lstm_params(state_dict, f"{prefix}.subnet.rnn", bidirectional=not causal),
+        "fc": {
+            "kernel": dense_weight(state_dict[f"{prefix}.subnet.fc.weight"]),
+            "bias": _np(state_dict[f"{prefix}.subnet.fc.bias"]),
+        },
+        f"{norm_cls}_1": _norm_params(state_dict, f"{prefix}.subnet.norm1d"),
+    }
+
+
+def convert_dptnet(state_dict: Mapping, config: Mapping) -> Dict:
+    """Reference DPTNet state_dict -> flax params tree.
+
+    Reference paths (src/models/dptnet.py): encoder.conv1d,
+    decoder.conv_transpose1d, separator.{bottleneck_conv1d,norm2d,prelu,map,
+    gtu} and separator.dptransformer.net.{i}.{intra,inter}_chunk_block.
+    transformer (ImprovedTransformer: MHA block + LSTM feed-forward block).
+    """
+    causal = bool(config.get("causal", False))
+    num_blocks = int(config.get("sep_num_blocks", 6))
+    top_norm = "CumulativeLayerNorm_0" if causal else "GlobalLayerNorm_0"
+
+    p: Dict = {}
+    p["encoder"] = {"kernel": encoder_conv1d_weight(state_dict["encoder.conv1d.weight"])}
+    p["decoder"] = {"kernel": conv_transpose1d_weight(state_dict["decoder.conv_transpose1d.weight"])}
+
+    sep: Dict = {}
+    sep["bottleneck_conv1d"] = _dense_params(state_dict, "separator.bottleneck_conv1d")
+    sep[top_norm] = _norm_params(state_dict, "separator.norm2d")
+    sep["prelu"] = {"alpha": _np(state_dict["separator.prelu.weight"]).reshape(())}
+    sep["map"] = _dense_params(state_dict, "separator.map")
+    sep["gtu_tanh"] = _dense_params(state_dict, "separator.gtu.map")
+    sep["gtu_sigmoid"] = _dense_params(state_dict, "separator.gtu.map_gate")
+
+    for i in range(num_blocks):
+        ref = f"separator.dptransformer.net.{i}"
+        sep[f"block{i}"] = {
+            # Intra chunks always run bidirectional (reference :401-430).
+            "intra_chunk_block": _improved_transformer_params(
+                state_dict, f"{ref}.intra_chunk_block.transformer", causal=False),
+            "inter_chunk_block": _improved_transformer_params(
+                state_dict, f"{ref}.inter_chunk_block.transformer", causal=causal),
+        }
     p["separator"] = sep
     return {"params": p}
 

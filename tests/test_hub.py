@@ -366,3 +366,99 @@ def test_d3net_conversion_structure():
     assert not mism, f"shape mismatch: {sorted(mism)[:4]}"
     y = model.apply(jax.tree_util.tree_map(jnp.asarray, converted), x)
     assert y.shape == x.shape
+
+
+def test_dptnet_conversion_structure():
+    from dnn_based_source_separation_tpu.hub.torch_convert import convert_dptnet
+    from dnn_based_source_separation_tpu.models.dptnet import DPTNet
+
+    torch.manual_seed(9)
+    N, C, H, heads, blocks = 16, 8, 6, 2, 2
+    config = dict(sep_num_blocks=blocks, causal=False)
+    model = DPTNet(
+        n_basis=N, kernel_size=4, stride=2, enc_basis="trainable",
+        dec_basis="trainable", sep_bottleneck_channels=C,
+        sep_hidden_channels=H, sep_chunk_size=10, sep_hop_size=5,
+        sep_num_blocks=blocks, sep_num_heads=heads, n_sources=2,
+    )
+    x = jnp.zeros((1, 1, 160))
+    ref_params = model.init(jax.random.PRNGKey(0), x)
+
+    sd = {}
+    sd["encoder.conv1d.weight"] = torch.randn(N, 1, 4)
+    sd["decoder.conv_transpose1d.weight"] = torch.randn(N, 1, 4)
+    sd["separator.bottleneck_conv1d.weight"] = torch.randn(C, N, 1)
+    sd["separator.bottleneck_conv1d.bias"] = torch.randn(C)
+    sd["separator.norm2d.gamma"] = torch.randn(1, C, 1)
+    sd["separator.norm2d.beta"] = torch.randn(1, C, 1)
+    sd["separator.prelu.weight"] = torch.randn(1)
+    sd["separator.map.weight"] = torch.randn(2 * N, C, 1)
+    sd["separator.map.bias"] = torch.randn(2 * N)
+    sd["separator.gtu.map.weight"] = torch.randn(N, N, 1)
+    sd["separator.gtu.map.bias"] = torch.randn(N)
+    sd["separator.gtu.map_gate.weight"] = torch.randn(N, N, 1)
+    sd["separator.gtu.map_gate.bias"] = torch.randn(N)
+    for i in range(blocks):
+        for blk in ("intra_chunk_block", "inter_chunk_block"):
+            ref = f"separator.dptransformer.net.{i}.{blk}.transformer"
+            mha = f"{ref}.multihead_attn_block"
+            sd[f"{mha}.multihead_attn.in_proj_weight"] = torch.randn(3 * C, C)
+            sd[f"{mha}.multihead_attn.in_proj_bias"] = torch.randn(3 * C)
+            sd[f"{mha}.multihead_attn.out_proj.weight"] = torch.randn(C, C)
+            sd[f"{mha}.multihead_attn.out_proj.bias"] = torch.randn(C)
+            sd[f"{mha}.norm1d.gamma"] = torch.randn(1, C, 1)
+            sd[f"{mha}.norm1d.beta"] = torch.randn(1, C, 1)
+            sub = f"{ref}.subnet"
+            for sfx in ("_l0", "_l0_reverse"):
+                sd[f"{sub}.rnn.weight_ih{sfx}"] = torch.randn(4 * H, C)
+                sd[f"{sub}.rnn.weight_hh{sfx}"] = torch.randn(4 * H, H)
+                sd[f"{sub}.rnn.bias_ih{sfx}"] = torch.randn(4 * H)
+                sd[f"{sub}.rnn.bias_hh{sfx}"] = torch.randn(4 * H)
+            sd[f"{sub}.fc.weight"] = torch.randn(C, 2 * H)
+            sd[f"{sub}.fc.bias"] = torch.randn(C)
+            sd[f"{sub}.norm1d.gamma"] = torch.randn(1, C, 1)
+            sd[f"{sub}.norm1d.beta"] = torch.randn(1, C, 1)
+
+    converted = convert_dptnet(sd, config)
+    ref_flat = {jax.tree_util.keystr(k): v.shape
+                for k, v in jax.tree_util.tree_leaves_with_path(ref_params)}
+    conv_flat = {jax.tree_util.keystr(k): np.asarray(v).shape
+                 for k, v in jax.tree_util.tree_leaves_with_path(
+                     jax.tree_util.tree_map(jnp.asarray, converted))}
+    assert ref_flat == conv_flat
+    y = model.apply(jax.tree_util.tree_map(jnp.asarray, converted), x)
+    assert y.shape == (1, 2, 160)
+
+
+def test_danet_conversion_structure():
+    from dnn_based_source_separation_tpu.hub.torch_convert import convert_danet
+    from dnn_based_source_separation_tpu.models.danet import DANet
+
+    torch.manual_seed(10)
+    n_bins, D, H, blocks = 9, 4, 6, 2
+    config = dict(num_blocks=blocks, causal=False)
+    model = DANet(n_bins=n_bins, embed_dim=D, hidden_channels=H, num_blocks=blocks)
+    x = jnp.abs(jnp.zeros((1, 1, n_bins, 12)))
+    assignment = jnp.zeros((1, 2, n_bins, 12))
+    ref_params = model.init(jax.random.PRNGKey(0), x, assignment)
+
+    sd = {}
+    for layer in range(blocks):
+        F_in = n_bins if layer == 0 else 2 * H
+        for sfx in (f"_l{layer}", f"_l{layer}_reverse"):
+            sd[f"rnn.weight_ih{sfx}"] = torch.randn(4 * H, F_in)
+            sd[f"rnn.weight_hh{sfx}"] = torch.randn(4 * H, H)
+            sd[f"rnn.bias_ih{sfx}"] = torch.randn(4 * H)
+            sd[f"rnn.bias_hh{sfx}"] = torch.randn(4 * H)
+    sd["fc.weight"] = torch.randn(n_bins * D, 2 * H)
+    sd["fc.bias"] = torch.randn(n_bins * D)
+
+    converted = convert_danet(sd, config)
+    ref_flat = {jax.tree_util.keystr(k): v.shape
+                for k, v in jax.tree_util.tree_leaves_with_path(ref_params)}
+    conv_flat = {jax.tree_util.keystr(k): np.asarray(v).shape
+                 for k, v in jax.tree_util.tree_leaves_with_path(
+                     jax.tree_util.tree_map(jnp.asarray, converted))}
+    assert ref_flat == conv_flat
+    y = model.apply(jax.tree_util.tree_map(jnp.asarray, converted), x, assignment)
+    assert y.shape == (1, 2, n_bins, 12)

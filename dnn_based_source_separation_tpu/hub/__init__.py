@@ -17,6 +17,7 @@ from .torch_convert import (
     convert_dprnn_tasnet,
     convert_dptnet,
     convert_d3net,
+    convert_galrnet,
     convert_open_unmix,
     convert_sepformer,
     build_from_torch_checkpoint,

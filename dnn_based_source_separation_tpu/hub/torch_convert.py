@@ -164,6 +164,28 @@ def build_from_torch_checkpoint(checkpoint_path: str):
     config = {k: v for k, v in blob.items() if k not in ("state_dict", "optim_dict")}
     state_dict = blob["state_dict"]
 
+    if any(k.startswith("separator.galr.") for k in state_dict):
+        from ..models.galrnet import GALRNet
+
+        model = GALRNet(
+            n_basis=config["n_basis"], kernel_size=config["kernel_size"],
+            stride=config.get("stride"),
+            enc_basis=config.get("enc_basis", "trainable"),
+            dec_basis=config.get("dec_basis", "trainable"),
+            enc_nonlinear=config.get("enc_nonlinear"),
+            sep_hidden_channels=config.get("sep_hidden_channels", 128),
+            sep_chunk_size=config.get("sep_chunk_size", 100),
+            sep_hop_size=config.get("sep_hop_size", 50),
+            sep_down_chunk_size=config.get("sep_down_chunk_size"),
+            sep_num_blocks=config.get("sep_num_blocks", 6),
+            sep_num_heads=config.get("sep_num_heads", 4),
+            mask_nonlinear=config.get("mask_nonlinear", "relu"),
+            low_dimension=config.get("low_dimension", True),
+            causal=config.get("causal", True),
+            n_sources=config.get("n_sources", 2),
+        )
+        return model, convert_galrnet(state_dict, config)
+
     if any("multihead_attn_block" in k for k in state_dict):
         from ..models.dptnet import DPTNet
 
@@ -525,6 +547,67 @@ def convert_dptnet(state_dict: Mapping, config: Mapping) -> Dict:
             "inter_chunk_block": _improved_transformer_params(
                 state_dict, f"{ref}.inter_chunk_block.transformer", causal=causal),
         }
+    p["separator"] = sep
+    return {"params": p}
+
+
+def convert_galrnet(state_dict: Mapping, config: Mapping) -> Dict:
+    """Reference GALRNet state_dict -> flax params tree.
+
+    Reference paths (src/models/galrnet.py Separator:166, galr.py):
+    separator.norm2d, separator.galr.net.{i}.intra_chunk_block
+    ({rnn,fc,norm1d}, = DPRNN IntraChunkRNN) and .inter_chunk_block
+    ({fc_map,fc_inv} in the low-dimension variant, norm2d_in.norm
+    (LayerNormAlongChannel), multihead_attn, norm2d_out), then
+    prelu/map/gtu like the other dual-path heads.
+    """
+    causal = bool(config.get("causal", True))
+    num_blocks = int(config.get("sep_num_blocks", 6))
+    low_dimension = bool(config.get("low_dimension", True))
+    top_norm = "CumulativeLayerNorm_0" if causal else "GlobalLayerNorm_0"
+
+    p: Dict = {}
+    p["encoder"] = {"kernel": encoder_conv1d_weight(state_dict["encoder.conv1d.weight"])}
+    p["decoder"] = {"kernel": conv_transpose1d_weight(state_dict["decoder.conv_transpose1d.weight"])}
+
+    sep: Dict = {}
+    sep[top_norm] = _norm_params(state_dict, "separator.norm2d")
+    sep["prelu"] = {"alpha": _np(state_dict["separator.prelu.weight"]).reshape(())}
+    sep["map"] = _dense_params(state_dict, "separator.map")
+    sep["gtu_tanh"] = _dense_params(state_dict, "separator.gtu.map")
+    sep["gtu_sigmoid"] = _dense_params(state_dict, "separator.gtu.map_gate")
+
+    galr: Dict = {}
+    for i in range(num_blocks):
+        ref = f"separator.galr.net.{i}"
+        intra = {
+            "rnn": lstm_params(state_dict, f"{ref}.intra_chunk_block.rnn", bidirectional=True),
+            "fc": {
+                "kernel": dense_weight(state_dict[f"{ref}.intra_chunk_block.fc.weight"]),
+                "bias": _np(state_dict[f"{ref}.intra_chunk_block.fc.bias"]),
+            },
+            "GlobalLayerNorm_0": _norm_params(state_dict, f"{ref}.intra_chunk_block.norm1d"),
+        }
+        gref = f"{ref}.inter_chunk_block"
+        inter: Dict = {
+            "norm_in": {
+                "scale": _np(state_dict[f"{gref}.norm2d_in.norm.weight"]),
+                "bias": _np(state_dict[f"{gref}.norm2d_in.norm.bias"]),
+            },
+            "multihead_attn": _mha_params(state_dict, f"{gref}.multihead_attn"),
+            top_norm: _norm_params(state_dict, f"{gref}.norm2d_out"),
+        }
+        if low_dimension:
+            inter["fc_map"] = {
+                "kernel": dense_weight(state_dict[f"{gref}.fc_map.weight"]),
+                "bias": _np(state_dict[f"{gref}.fc_map.bias"]),
+            }
+            inter["fc_inv"] = {
+                "kernel": dense_weight(state_dict[f"{gref}.fc_inv.weight"]),
+                "bias": _np(state_dict[f"{gref}.fc_inv.bias"]),
+            }
+        galr[f"block{i}"] = {"intra_chunk_block": intra, "inter_chunk_block": inter}
+    sep["galr"] = galr
     p["separator"] = sep
     return {"params": p}
 

@@ -462,3 +462,68 @@ def test_danet_conversion_structure():
     assert ref_flat == conv_flat
     y = model.apply(jax.tree_util.tree_map(jnp.asarray, converted), x, assignment)
     assert y.shape == (1, 2, n_bins, 12)
+
+
+def test_galrnet_conversion_structure():
+    from dnn_based_source_separation_tpu.hub.torch_convert import convert_galrnet
+    from dnn_based_source_separation_tpu.models.galrnet import GALRNet
+
+    torch.manual_seed(11)
+    N, H, heads, blocks, K, Q = 8, 6, 2, 2, 10, 4
+    config = dict(sep_num_blocks=blocks, causal=False, low_dimension=True)
+    model = GALRNet(
+        n_basis=N, kernel_size=4, stride=2, enc_basis="trainable",
+        dec_basis="trainable", enc_nonlinear="relu",
+        sep_hidden_channels=H, sep_chunk_size=K, sep_hop_size=5,
+        sep_down_chunk_size=Q, sep_num_blocks=blocks, sep_num_heads=heads,
+        low_dimension=True, causal=False, n_sources=2,
+    )
+    x = jnp.zeros((1, 1, 160))
+    ref_params = model.init(jax.random.PRNGKey(0), x)
+
+    sd = {}
+    sd["encoder.conv1d.weight"] = torch.randn(N, 1, 4)
+    sd["decoder.conv_transpose1d.weight"] = torch.randn(N, 1, 4)
+    sd["separator.norm2d.gamma"] = torch.randn(1, N, 1)
+    sd["separator.norm2d.beta"] = torch.randn(1, N, 1)
+    sd["separator.prelu.weight"] = torch.randn(1)
+    sd["separator.map.weight"] = torch.randn(2 * N, N, 1)
+    sd["separator.map.bias"] = torch.randn(2 * N)
+    sd["separator.gtu.map.weight"] = torch.randn(N, N, 1)
+    sd["separator.gtu.map.bias"] = torch.randn(N)
+    sd["separator.gtu.map_gate.weight"] = torch.randn(N, N, 1)
+    sd["separator.gtu.map_gate.bias"] = torch.randn(N)
+    for i in range(blocks):
+        intra = f"separator.galr.net.{i}.intra_chunk_block"
+        for sfx in ("_l0", "_l0_reverse"):
+            sd[f"{intra}.rnn.weight_ih{sfx}"] = torch.randn(4 * H, N)
+            sd[f"{intra}.rnn.weight_hh{sfx}"] = torch.randn(4 * H, H)
+            sd[f"{intra}.rnn.bias_ih{sfx}"] = torch.randn(4 * H)
+            sd[f"{intra}.rnn.bias_hh{sfx}"] = torch.randn(4 * H)
+        sd[f"{intra}.fc.weight"] = torch.randn(N, 2 * H)
+        sd[f"{intra}.fc.bias"] = torch.randn(N)
+        sd[f"{intra}.norm1d.gamma"] = torch.randn(1, N, 1)
+        sd[f"{intra}.norm1d.beta"] = torch.randn(1, N, 1)
+        inter = f"separator.galr.net.{i}.inter_chunk_block"
+        sd[f"{inter}.fc_map.weight"] = torch.randn(Q, K)
+        sd[f"{inter}.fc_map.bias"] = torch.randn(Q)
+        sd[f"{inter}.norm2d_in.norm.weight"] = torch.randn(N)
+        sd[f"{inter}.norm2d_in.norm.bias"] = torch.randn(N)
+        sd[f"{inter}.multihead_attn.in_proj_weight"] = torch.randn(3 * N, N)
+        sd[f"{inter}.multihead_attn.in_proj_bias"] = torch.randn(3 * N)
+        sd[f"{inter}.multihead_attn.out_proj.weight"] = torch.randn(N, N)
+        sd[f"{inter}.multihead_attn.out_proj.bias"] = torch.randn(N)
+        sd[f"{inter}.norm2d_out.gamma"] = torch.randn(1, N, 1)
+        sd[f"{inter}.norm2d_out.beta"] = torch.randn(1, N, 1)
+        sd[f"{inter}.fc_inv.weight"] = torch.randn(K, Q)
+        sd[f"{inter}.fc_inv.bias"] = torch.randn(K)
+
+    converted = convert_galrnet(sd, config)
+    ref_flat = {jax.tree_util.keystr(k): v.shape
+                for k, v in jax.tree_util.tree_leaves_with_path(ref_params)}
+    conv_flat = {jax.tree_util.keystr(k): np.asarray(v).shape
+                 for k, v in jax.tree_util.tree_leaves_with_path(
+                     jax.tree_util.tree_map(jnp.asarray, converted))}
+    assert ref_flat == conv_flat
+    y = model.apply(jax.tree_util.tree_map(jnp.asarray, converted), x)
+    assert y.shape == (1, 2, 160)

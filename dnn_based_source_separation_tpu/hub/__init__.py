@@ -12,6 +12,7 @@ from .torch_convert import (
     dense_weight,
     depthwise_conv1d_weight,
     lstm_params,
+    convert_adanet,
     convert_conv_tasnet,
     convert_danet,
     convert_dprnn_tasnet,

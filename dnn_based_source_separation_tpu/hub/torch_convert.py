@@ -243,6 +243,22 @@ def build_from_torch_checkpoint(checkpoint_path: str):
         )
         return model, convert_dprnn_tasnet(state_dict, config)
 
+    if "anchor" in state_dict and "rnn.weight_ih_l0" in state_dict:
+        from ..models.adanet import ADANet
+
+        model = ADANet(
+            n_bins=config["n_bins"], embed_dim=config["embed_dim"],
+            hidden_channels=config.get("hidden_channels", 600),
+            num_blocks=config.get("num_blocks", 4),
+            num_anchors=config.get("num_anchors", 6),
+            causal=config.get("causal", False),
+            mask_nonlinear=config.get("mask_nonlinear", "sigmoid"),
+            take_log=config.get("take_log", True),
+            take_db=config.get("take_db", False),
+            permute_anchors=config.get("permute_anchors", False),
+        )
+        return model, convert_adanet(state_dict, config)
+
     if "embed_dim" in config and "rnn.weight_ih_l0" in state_dict:
         from ..models.danet import DANet
 
@@ -476,6 +492,17 @@ def convert_danet(state_dict: Mapping, config: Mapping) -> Dict:
             "bias": _np(state_dict["fc.bias"]),
         },
     }}
+
+
+def convert_adanet(state_dict: Mapping, config: Mapping) -> Dict:
+    """Reference ADANet state_dict -> flax params tree.
+
+    ADANet = DANet backbone (rnn + fc, src/models/adanet.py:14) plus the
+    learned anchor bank (nn.Parameter (num_anchors, embed_dim), :28).
+    """
+    p = convert_danet(state_dict, config)
+    p["params"]["anchor"] = _np(state_dict["anchor"])
+    return p
 
 
 def _mha_params(state_dict: Mapping, prefix: str) -> Dict:

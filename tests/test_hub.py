@@ -527,3 +527,37 @@ def test_galrnet_conversion_structure():
     assert ref_flat == conv_flat
     y = model.apply(jax.tree_util.tree_map(jnp.asarray, converted), x)
     assert y.shape == (1, 2, 160)
+
+
+def test_adanet_conversion_structure():
+    from dnn_based_source_separation_tpu.hub.torch_convert import convert_adanet
+    from dnn_based_source_separation_tpu.models.adanet import ADANet
+
+    torch.manual_seed(12)
+    n_bins, D, H, blocks, anchors = 9, 4, 6, 2, 5
+    config = dict(num_blocks=blocks, num_anchors=anchors, causal=False)
+    model = ADANet(n_bins=n_bins, embed_dim=D, hidden_channels=H,
+                   num_blocks=blocks, num_anchors=anchors)
+    x = jnp.abs(jnp.zeros((1, 1, n_bins, 12)))
+    ref_params = model.init(jax.random.PRNGKey(0), x)
+
+    sd = {"anchor": torch.randn(anchors, D)}
+    for layer in range(blocks):
+        F_in = n_bins if layer == 0 else 2 * H
+        for sfx in (f"_l{layer}", f"_l{layer}_reverse"):
+            sd[f"rnn.weight_ih{sfx}"] = torch.randn(4 * H, F_in)
+            sd[f"rnn.weight_hh{sfx}"] = torch.randn(4 * H, H)
+            sd[f"rnn.bias_ih{sfx}"] = torch.randn(4 * H)
+            sd[f"rnn.bias_hh{sfx}"] = torch.randn(4 * H)
+    sd["fc.weight"] = torch.randn(n_bins * D, 2 * H)
+    sd["fc.bias"] = torch.randn(n_bins * D)
+
+    converted = convert_adanet(sd, config)
+    ref_flat = {jax.tree_util.keystr(k): v.shape
+                for k, v in jax.tree_util.tree_leaves_with_path(ref_params)}
+    conv_flat = {jax.tree_util.keystr(k): np.asarray(v).shape
+                 for k, v in jax.tree_util.tree_leaves_with_path(
+                     jax.tree_util.tree_map(jnp.asarray, converted))}
+    assert ref_flat == conv_flat
+    y = model.apply(jax.tree_util.tree_map(jnp.asarray, converted), x, n_sources=2)
+    assert y.shape == (1, 2, n_bins, 12)

@@ -164,6 +164,32 @@ def build_from_torch_checkpoint(checkpoint_path: str):
     config = {k: v for k, v in blob.items() if k not in ("state_dict", "optim_dict")}
     state_dict = blob["state_dict"]
 
+    if "bands" in config or any(k.startswith("net.full.") for k in state_dict):
+        from ..models.d3net import D3Net
+
+        bands = list(config["bands"])
+        model = D3Net(
+            in_channels=config["in_channels"],
+            num_features=config["num_features"],
+            growth_rate=config["growth_rate"],
+            kernel_size=config.get("kernel_size", 3),
+            bands=bands,
+            sections=config["sections"],
+            scale=config.get("scale", 2),
+            num_d2blocks=config.get("num_d2blocks"),
+            dilated=config.get("dilated", True),
+            norm=config.get("norm", True),
+            nonlinear=config.get("nonlinear", "relu"),
+            depth=config.get("depth"),
+            growth_rate_final=config.get("growth_rate_final"),
+            kernel_size_final=config.get("kernel_size_final", 3),
+            dilated_final=config.get("dilated_final", True),
+            depth_final=config.get("depth_final"),
+            norm_final=config.get("norm_final", True),
+            nonlinear_final=config.get("nonlinear_final", "relu"),
+        )
+        return model, convert_d3net(state_dict, config)
+
     if any(k.startswith("separator.galr.") for k in state_dict):
         from ..models.galrnet import GALRNet
 
@@ -640,8 +666,13 @@ def convert_galrnet(state_dict: Mapping, config: Mapping) -> Dict:
 
 
 def conv_transpose2d_weight(w) -> np.ndarray:
-    """torch ConvTranspose2d (in, out, kh, kw) -> flax (kh, kw, in, out)."""
-    return np.transpose(_np(w), (2, 3, 0, 1))
+    """torch ConvTranspose2d (in, out, kh, kw) -> flax (kh, kw, in, out).
+
+    torch ConvTranspose2d is the gradient of a conv (implicitly flips the
+    kernel); flax nn.ConvTranspose (transpose_kernel=False) cross-correlates
+    with the kernel as given, so the spatial dims must be flipped here.
+    """
+    return np.transpose(_np(w), (2, 3, 0, 1))[::-1, ::-1].copy()
 
 
 def _bn_params(state_dict: Mapping, prefix: str):
@@ -739,9 +770,11 @@ def convert_d3net(state_dict: Mapping, config: Mapping) -> Dict:
         params[f"net_{band}"] = bp
         stats[f"net_{band}"] = bs
 
-    # Final D2 block + BN + GLU head.
-    fin = config["final"]
-    p, s = _d2block_params(state_dict, "d2block", fin["depth"])
+    # Final D2 block + BN + GLU head. Checkpoint configs store flat
+    # '*_final' keys (reference d3net.py:470-474); the recipe YAML nests
+    # them under 'final' — accept both.
+    depth_final = config.get("depth_final") or config.get("final", {}).get("depth")
+    p, s = _d2block_params(state_dict, "d2block", depth_final)
     params["d2block"], stats["d2block"] = p, s
     np_, ns_ = _bn_params(state_dict, "norm2d")
     params["norm2d"], stats["norm2d"] = np_, ns_

@@ -57,7 +57,12 @@ class MultiheadAttention(nn.Module):
             bias = np.triu(np.full((T, T), -1e9, np.float32), k=1)
             scores = scores + jnp.asarray(bias, scores.dtype)
         if attn_mask is not None:
-            scores = scores + jnp.where(attn_mask, 0.0, -1e9).astype(scores.dtype)
+            # torch nn.MultiheadAttention convention: True = MASKED
+            # (position not attended); float masks are added as-is.
+            if attn_mask.dtype == jnp.bool_:
+                scores = scores + jnp.where(attn_mask, -1e9, 0.0).astype(scores.dtype)
+            else:
+                scores = scores + attn_mask.astype(scores.dtype)
         attn = nn.softmax(scores, axis=-1)
         if self.dropout > 0.0:
             attn = nn.Dropout(rate=self.dropout, deterministic=not train)(attn)

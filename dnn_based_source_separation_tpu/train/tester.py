@@ -39,7 +39,7 @@ class Tester:
         out_dir: Optional[str] = None,
         pesq_bin: Optional[str] = None,
         filt_len: int = 512,
-        pad_to: int = 8000,
+        pad_to: int = 1,
     ):
         self.model, self.params = model, params
         self.dataset = dataset
@@ -48,8 +48,15 @@ class Tester:
         self.out_dir = out_dir
         self.pesq_bin = pesq_bin
         self.filt_len = filt_len
-        # Bucket utterance lengths to multiples of pad_to so jit compiles a
-        # handful of programs instead of one per utterance length.
+        # pad_to > 1 buckets utterance lengths to multiples of pad_to so jit
+        # compiles a handful of programs instead of one per utterance length.
+        # Zero-padding is NOT output-invariant for non-causal models whose
+        # normalization statistics are global (gLN): the padded frames enter
+        # the mean/variance, perturbing the truncated estimates. The default
+        # (1 = exact length) matches the reference evaluation protocol; only
+        # raise it for causal/cLN models (zero future input is invariant
+        # there) or when a bounded metric deviation is acceptable
+        # (tests/test_tester.py quantifies it).
         self.pad_to = pad_to
         self._forward = jax.jit(model.apply)
 

@@ -46,6 +46,29 @@ def test_decoder_conv_transpose1d_parity():
     np.testing.assert_allclose(np.asarray(ours)[..., 0], expected[:, 0], atol=1e-5)
 
 
+def test_conv_transpose2d_parity():
+    """torch ConvTranspose2d == flax nn.ConvTranspose with flipped kernel.
+
+    Mirrors the D3Net/MMDenseNet decoder upsample (kernel == stride, no
+    bias); torch's op is the gradient-of-conv so the converter must flip
+    the spatial dims for flax's cross-correlating ConvTranspose.
+    """
+    from dnn_based_source_separation_tpu.hub.torch_convert import conv_transpose2d_weight
+
+    torch.manual_seed(7)
+    Cin, Cout, k, s = 6, 4, 2, 2
+    tconv = torch.nn.ConvTranspose2d(Cin, Cout, kernel_size=k, stride=s, bias=False)
+    x = torch.randn(2, Cin, 5, 7)
+    expected = tconv(x).detach().numpy()  # (B, Cout, 10, 14)
+
+    up = nn.ConvTranspose(Cout, (k, k), strides=(s, s), use_bias=False)
+    params = {"params": {"kernel": jnp.asarray(conv_transpose2d_weight(tconv.weight))}}
+    ours = up.apply(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(ours).transpose(0, 3, 1, 2), expected, atol=1e-5
+    )
+
+
 def test_depthwise_conv_parity():
     torch.manual_seed(2)
     C, k, T = 8, 3, 50
@@ -264,29 +287,74 @@ def test_transformer_layer_conversion_parity():
     np.testing.assert_allclose(np.asarray(ours), expected, atol=2e-5)
 
 
-def test_d3net_conversion_structure():
-    from dnn_based_source_separation_tpu.hub.torch_convert import convert_d3net
+def _d3net_fixture():
+    """Tiny D3Net config (reference checkpoint layout) + model + input."""
     from dnn_based_source_separation_tpu.models import D3Net
 
     torch.manual_seed(9)
     band = lambda v: {"low": v, "middle": v, "full": v}
     config = dict(
         bands=["low", "middle"],
+        sections=[16, 16],
+        in_channels=2,
+        num_features=band(4),
         growth_rate={"low": [2, 3, 2], "middle": [2, 2, 2], "full": [2, 3, 2]},
+        kernel_size=band(3),
+        scale=band((2, 2)),
         num_d2blocks=band([2, 2, 2]),
         depth=band([2, 2, 2]),
-        final=dict(growth_rate=3, depth=2),
+        growth_rate_final=3, kernel_size_final=3, depth_final=2,
     )
     model = D3Net(
-        in_channels=2, num_features=band(4),
-        growth_rate=config["growth_rate"], kernel_size=band(3),
-        bands=["low", "middle"], sections=[16, 16], scale=band((2, 2)),
+        in_channels=2, num_features=config["num_features"],
+        growth_rate=config["growth_rate"], kernel_size=config["kernel_size"],
+        bands=config["bands"], sections=config["sections"], scale=config["scale"],
         num_d2blocks=config["num_d2blocks"], depth=config["depth"],
         growth_rate_final=3, kernel_size_final=3, depth_final=2,
     )
     x = jnp.asarray(np.abs(np.random.default_rng(10).standard_normal((1, 2, 32, 16))), jnp.float32)
+    return config, model, x
+
+
+def test_d3net_conversion_structure():
+    from dnn_based_source_separation_tpu.hub.torch_convert import convert_d3net
+
+    config, model, x = _d3net_fixture()
     ref_vars = model.init(jax.random.PRNGKey(0), x)
 
+    sd = _d3net_state_dict(config)
+    converted = convert_d3net(sd, config)
+    ref_flat = {jax.tree_util.keystr(k): v.shape
+                for k, v in jax.tree_util.tree_leaves_with_path(ref_vars)}
+    conv_flat = {jax.tree_util.keystr(k): np.asarray(v).shape
+                 for k, v in jax.tree_util.tree_leaves_with_path(
+                     jax.tree_util.tree_map(jnp.asarray, converted))}
+    missing = set(ref_flat) - set(conv_flat)
+    extra = set(conv_flat) - set(ref_flat)
+    assert not missing and not extra, f"missing={sorted(missing)[:4]} extra={sorted(extra)[:4]}"
+    mism = {k for k in ref_flat if ref_flat[k] != conv_flat[k]}
+    assert not mism, f"shape mismatch: {sorted(mism)[:4]}"
+    y = model.apply(jax.tree_util.tree_map(jnp.asarray, converted), x)
+    assert y.shape == x.shape
+
+
+def test_d3net_checkpoint_dispatch(tmp_path):
+    """build_from_torch_checkpoint must route band-structured configs to D3Net."""
+    from dnn_based_source_separation_tpu.hub import build_from_torch_checkpoint
+    from dnn_based_source_separation_tpu.models import D3Net
+
+    config, _, x = _d3net_fixture()
+    sd = _d3net_state_dict(config)
+    path = tmp_path / "d3net.pth"
+    torch.save({**config, "state_dict": sd}, path)
+
+    model, variables = build_from_torch_checkpoint(str(path))
+    assert isinstance(model, D3Net)
+    y = model.apply(jax.tree_util.tree_map(jnp.asarray, variables), x)
+    assert y.shape == x.shape
+
+
+def _d3net_state_dict(config):
     # Synthesize a torch-style state_dict with matching shapes by walking
     # the flax tree backwards: easier to build from the reference names.
     sd = {}
@@ -352,20 +420,7 @@ def test_d3net_conversion_structure():
     bn("norm2d", 3)
     conv("glu2d.map", 3, 2, k=1)
     conv("glu2d.map_gate", 3, 2, k=1)
-
-    converted = convert_d3net(sd, config)
-    ref_flat = {jax.tree_util.keystr(k): v.shape
-                for k, v in jax.tree_util.tree_leaves_with_path(ref_vars)}
-    conv_flat = {jax.tree_util.keystr(k): np.asarray(v).shape
-                 for k, v in jax.tree_util.tree_leaves_with_path(
-                     jax.tree_util.tree_map(jnp.asarray, converted))}
-    missing = set(ref_flat) - set(conv_flat)
-    extra = set(conv_flat) - set(ref_flat)
-    assert not missing and not extra, f"missing={sorted(missing)[:4]} extra={sorted(extra)[:4]}"
-    mism = {k for k in ref_flat if ref_flat[k] != conv_flat[k]}
-    assert not mism, f"shape mismatch: {sorted(mism)[:4]}"
-    y = model.apply(jax.tree_util.tree_map(jnp.asarray, converted), x)
-    assert y.shape == x.shape
+    return sd
 
 
 def test_dptnet_conversion_structure():

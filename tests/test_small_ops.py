@@ -90,3 +90,36 @@ def test_cepstrum_and_minimum_phase():
         np.abs(np.fft.rfft(np.asarray(mp))), np.abs(np.fft.rfft(np.asarray(x))),
         rtol=1e-3, atol=1e-3,
     )
+
+
+def test_attn_mask_torch_convention():
+    """attn_mask follows torch nn.MultiheadAttention: True = masked.
+
+    Parity-checked directly against torch on the same weights.
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from dnn_based_source_separation_tpu.hub import dense_weight
+    from dnn_based_source_separation_tpu.ops.attention import MultiheadAttention
+
+    torch.manual_seed(11)
+    E, h, B, T = 8, 2, 2, 5
+    ref = torch.nn.MultiheadAttention(E, h, batch_first=True)
+    x = torch.randn(B, T, E)
+    mask = torch.zeros(T, T, dtype=torch.bool)
+    mask[:, -2:] = True  # nobody attends to the last two positions
+    expected, _ = ref(x, x, x, attn_mask=mask)
+
+    model = MultiheadAttention(E, h)
+    sd = ref.state_dict()
+    params = {"params": {
+        "in_proj": {"kernel": jnp.asarray(dense_weight(sd["in_proj_weight"])),
+                    "bias": jnp.asarray(sd["in_proj_bias"].numpy())},
+        "out_proj": {"kernel": jnp.asarray(dense_weight(sd["out_proj.weight"])),
+                     "bias": jnp.asarray(sd["out_proj.bias"].numpy())},
+    }}
+    ours = model.apply(params, jnp.asarray(x.numpy()), attn_mask=jnp.asarray(mask.numpy()))
+    np.testing.assert_allclose(np.asarray(ours), expected.detach().numpy(), atol=1e-5)

@@ -77,6 +77,21 @@ def lstm_params(state_dict: Mapping, prefix: str, num_layers: int = 1, bidirecti
 
 
 def _norm_params(state_dict: Mapping, prefix: str) -> Dict:
+    """TasNet norm params -> {gamma, beta} (N,).
+
+    The reference has two layouts (src/modules/norm.py): GlobalLayerNorm
+    wraps nn.GroupNorm(1, C) so its params are `{prefix}.norm.weight/bias`;
+    CumulativeLayerNorm1d owns `{prefix}.gamma/beta` of shape (1, C, 1).
+    """
+    if f"{prefix}.norm.weight" in state_dict:
+        return {
+            "gamma": _np(state_dict[f"{prefix}.norm.weight"]).reshape(-1),
+            "beta": _np(state_dict[f"{prefix}.norm.bias"]).reshape(-1),
+        }
+    return _gamma_beta_params(state_dict, prefix)
+
+
+def _gamma_beta_params(state_dict: Mapping, prefix: str) -> Dict:
     """gLN/cLN gamma/beta (1, N, 1) -> (N,)."""
     return {
         "gamma": _np(state_dict[f"{prefix}.gamma"]).reshape(-1),

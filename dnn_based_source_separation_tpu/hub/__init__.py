@@ -19,7 +19,12 @@ from .torch_convert import (
     convert_dptnet,
     convert_d3net,
     convert_galrnet,
+    convert_lstm_tasnet,
+    convert_mm_dense_rnn,
+    convert_mm_densenet,
+    convert_mrx,
     convert_open_unmix,
     convert_sepformer,
+    convert_xumx,
     build_from_torch_checkpoint,
 )

@@ -180,30 +180,117 @@ def build_from_torch_checkpoint(checkpoint_path: str):
     state_dict = blob["state_dict"]
 
     if "bands" in config or any(k.startswith("net.full.") for k in state_dict):
-        from ..models.d3net import D3Net
-
-        bands = list(config["bands"])
-        model = D3Net(
+        # Band-structured family: D3Net (d3block keys), MMDenseRNN/LSTM
+        # (hidden_channels config), or plain MMDenseNet.
+        band_common = dict(
             in_channels=config["in_channels"],
             num_features=config["num_features"],
             growth_rate=config["growth_rate"],
             kernel_size=config.get("kernel_size", 3),
-            bands=bands,
+            bands=list(config["bands"]),
             sections=config["sections"],
             scale=config.get("scale", 2),
-            num_d2blocks=config.get("num_d2blocks"),
-            dilated=config.get("dilated", True),
-            norm=config.get("norm", True),
-            nonlinear=config.get("nonlinear", "relu"),
             depth=config.get("depth"),
             growth_rate_final=config.get("growth_rate_final"),
             kernel_size_final=config.get("kernel_size_final", 3),
-            dilated_final=config.get("dilated_final", True),
             depth_final=config.get("depth_final"),
             norm_final=config.get("norm_final", True),
             nonlinear_final=config.get("nonlinear_final", "relu"),
         )
-        return model, convert_d3net(state_dict, config)
+        if any("d3block" in k for k in state_dict):
+            from ..models.d3net import D3Net
+
+            model = D3Net(
+                num_d2blocks=config.get("num_d2blocks"),
+                dilated=config.get("dilated", True),
+                norm=config.get("norm", True),
+                nonlinear=config.get("nonlinear", "relu"),
+                dilated_final=config.get("dilated_final", True),
+                **band_common,
+            )
+            return model, convert_d3net(state_dict, config)
+
+        band_common.update(
+            dilated=config.get("dilated", False),
+            norm=config.get("norm", True),
+            nonlinear=config.get("nonlinear", "relu"),
+            dilated_final=config.get("dilated_final", False),
+        )
+        if "hidden_channels" in config:
+            from ..models.mm_dense_rnn import MMDenseLSTM, MMDenseRNN
+
+            rnn_type = config.get("rnn_type", "lstm")
+            cls = MMDenseLSTM if rnn_type == "lstm" else MMDenseRNN
+            kwargs = dict(
+                hidden_channels=config["hidden_channels"],
+                hidden_channels_final=int(config.get("hidden_channels_final") or 0),
+                causal=config.get("causal", False),
+                rnn_position=config.get("rnn_position", "parallel"),
+                **band_common,
+            )
+            if cls is MMDenseRNN:
+                kwargs["rnn_type"] = rnn_type
+            model = cls(**kwargs)
+            return model, convert_mm_dense_rnn(state_dict, config)
+
+        from ..models.mm_densenet import MMDenseNet
+
+        model = MMDenseNet(**band_common)
+        return model, convert_mm_densenet(state_dict, config)
+
+    if any(k.startswith("backbone.") for k in state_dict):
+        from ..models.xumx import CrossNetOpenUnmix
+
+        model = CrossNetOpenUnmix(
+            in_channels=config["in_channels"],
+            hidden_channels=config.get("hidden_channels", 512),
+            num_layers=config.get("num_layers", 3),
+            n_bins=config["n_bins"], max_bin=config.get("max_bin"),
+            dropout=config.get("dropout"), causal=config.get("causal", False),
+            bridge=config.get("bridge", True),
+            sources=tuple(config["sources"]),
+        )
+        return model, convert_xumx(state_dict, config)
+
+    if any(k.startswith("encoder_blocks.") for k in state_dict):
+        from ..models.mrx import MultiResolutionCrossNet
+
+        num_layers = config.get("num_layers", 3)
+        if isinstance(num_layers, (list, tuple)):
+            num_layers = int(num_layers[0])
+        rnn_type = config.get("rnn_type", "lstm")
+        if isinstance(rnn_type, (list, tuple)):
+            rnn_type = rnn_type[0]
+        model = MultiResolutionCrossNet(
+            in_channels=config["in_channels"],
+            hidden_channels=config.get("hidden_channels", 512),
+            num_layers=num_layers,
+            n_fft=tuple(config["n_fft"]),
+            hop_length=config["hop_length"],
+            window_fn=config.get("window_fn", "hann"),
+            causal=config.get("causal", False),
+            rnn_type=rnn_type,
+            sources=tuple(config["sources"]),
+        )
+        return model, convert_mrx(state_dict, config)
+
+    if "separator.rnn.0.weight_ih_l0" in state_dict:
+        from ..models.lstm_tasnet import LSTMTasNet
+
+        model = LSTMTasNet(
+            n_basis=config["n_basis"], kernel_size=config["kernel_size"],
+            stride=config.get("stride"),
+            enc_basis=config.get("enc_basis", "trainableGated"),
+            dec_basis=config.get("dec_basis", "trainable"),
+            sep_num_blocks=config.get("sep_num_blocks", 2),
+            sep_num_layers=config.get("sep_num_layers", 2),
+            sep_hidden_channels=config.get("sep_hidden_channels", 500),
+            mask_nonlinear=config.get("mask_nonlinear", "softmax"),
+            causal=config.get("causal", False),
+            rnn_type=config.get("rnn_type", "lstm"),
+            n_sources=config.get("n_sources", 2),
+        )
+        return model, convert_lstm_tasnet(state_dict, config)
 
     if any(k.startswith("separator.galr.") for k in state_dict):
         from ..models.galrnet import GALRNet
@@ -797,4 +884,284 @@ def convert_d3net(state_dict: Mapping, config: Mapping) -> Dict:
         "map": _conv2d_params(state_dict, "glu2d.map"),
         "gate": _conv2d_params(state_dict, "glu2d.map_gate"),
     }
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_lstm_tasnet(state_dict: Mapping, config: Mapping) -> Dict:
+    """Reference LSTM-TasNet (src/models/tasnet.py:70) -> flax params.
+
+    Gated (conv1d_U/conv1d_V) or plain trainable encoder, per-frame affine
+    norm (gamma/beta), num_blocks skip-summed LSTMs, fc mask head,
+    transposed-conv decoder.
+    """
+    p: Dict = {}
+
+    if "encoder.conv1d_U.weight" in state_dict:
+        p["encoder"] = {
+            "kernel_U": encoder_conv1d_weight(state_dict["encoder.conv1d_U.weight"]),
+            "kernel_V": encoder_conv1d_weight(state_dict["encoder.conv1d_V.weight"]),
+        }
+    else:
+        p["encoder"] = {"kernel": encoder_conv1d_weight(state_dict["encoder.conv1d.weight"])}
+    p["decoder"] = {"kernel": conv_transpose1d_weight(state_dict["decoder.conv_transpose1d.weight"])}
+
+    causal = bool(config.get("causal", False))
+    num_blocks = int(config.get("sep_num_blocks", 2))
+    num_layers = int(config.get("sep_num_layers", 2))
+
+    sep: Dict = {
+        "gamma": _np(state_dict["separator.gamma"]).reshape(-1),
+        "beta": _np(state_dict["separator.beta"]).reshape(-1),
+        "fc": _dense_params(state_dict, "separator.fc", conv=False),
+    }
+    for idx in range(num_blocks):
+        sep[f"rnn{idx}"] = lstm_params(
+            state_dict, f"separator.rnn.{idx}",
+            num_layers=num_layers, bidirectional=not causal,
+        )
+    p["separator"] = sep
+    return {"params": p}
+
+
+def convert_xumx(state_dict: Mapping, config: Mapping) -> Dict:
+    """Reference CrossNet-Open-Unmix (src/models/xumx.py:21) -> flax
+    variables. Each `backbone.<source>` is an OpenUnmix-shaped stack."""
+    causal = bool(config.get("causal", False))
+    num_layers = int(config.get("num_layers", 3))
+    sources = list(config["sources"])
+
+    params: Dict = {}
+    stats: Dict = {}
+    for source in sources:
+        ref = f"backbone.{source}"
+        params[f"scale_in_{source}"] = _np(state_dict[f"{ref}.scale_in"])
+        params[f"bias_in_{source}"] = _np(state_dict[f"{ref}.bias_in"])
+        params[f"scale_out_{source}"] = _np(state_dict[f"{ref}.scale_out"])
+        params[f"bias_out_{source}"] = _np(state_dict[f"{ref}.bias_out"])
+        for ours, sub in ((f"block_{source}", "block"),
+                          (f"net0_{source}", "net.0"),
+                          (f"net1_{source}", "net.1")):
+            bp, bs = _transform_block_params(state_dict, f"{ref}.{sub}")
+            params[ours] = bp
+            stats[ours] = bs
+        params[f"rnn_{source}"] = lstm_params(
+            state_dict, f"{ref}.rnn", num_layers=num_layers,
+            bidirectional=not causal,
+        )
+    return {"params": params, "batch_stats": stats}
+
+
+def _dense_block_params(state_dict: Mapping, prefix: str, depth: int):
+    """Reference DenseBlock (m_densenet.py:662) -> {conv_block{i}: {norm2d, conv2d}}.
+
+    ConvBlock2d may omit the norm (norm=False) -- detected per block.
+    """
+    params, stats = {}, {}
+    for i in range(depth):
+        blk_p, blk_s = {}, {}
+        if f"{prefix}.net.{i}.norm2d.weight" in state_dict:
+            norm_p, norm_s = _bn_params(state_dict, f"{prefix}.net.{i}.norm2d")
+            blk_p["norm2d"] = norm_p
+            blk_s["norm2d"] = norm_s
+        blk_p["conv2d"] = _conv2d_params(state_dict, f"{prefix}.net.{i}.conv2d")
+        params[f"conv_block{i}"] = blk_p
+        stats[f"conv_block{i}"] = blk_s
+    return params, stats
+
+
+def _m_densenet_backbone_params(state_dict: Mapping, ref: str, n_stages: int, depth):
+    """Reference MDenseNetBackbone (m_densenet.py:341) under prefix `ref` ->
+    our MDenseNetBackbone param/stat trees."""
+    n_enc = n_stages // 2
+    bp: Dict = {"conv2d": _conv2d_params(state_dict, f"{ref}.conv2d")}
+    bs: Dict = {}
+    for i in range(n_enc):
+        p, s = _dense_block_params(state_dict, f"{ref}.encoder.net.{i}.dense_block", depth[i])
+        bp[f"encoder{i}"] = {"dense_block": p}
+        bs[f"encoder{i}"] = {"dense_block": s}
+    p, s = _dense_block_params(state_dict, f"{ref}.bottleneck_conv2d", depth[n_enc])
+    bp["bottleneck"] = p
+    bs["bottleneck"] = s
+    for j, idx in enumerate(range(n_enc + 1, n_stages)):
+        dref = f"{ref}.decoder.net.{j}"
+        np_, ns_ = _bn_params(state_dict, f"{dref}.norm2d")
+        p, s = _dense_block_params(state_dict, f"{dref}.dense_block", depth[idx])
+        bp[f"decoder{j}"] = {
+            "norm2d": np_,
+            "upsample2d": {
+                "kernel": conv_transpose2d_weight(state_dict[f"{dref}.upsample2d.weight"]),
+                "bias": _np(state_dict[f"{dref}.upsample2d.bias"]),
+            },
+            "dense_block": p,
+        }
+        bs[f"decoder{j}"] = {"norm2d": ns_, "dense_block": s}
+    if f"{ref}.pointwise_conv2d.0.weight" in state_dict:
+        np_, ns_ = _bn_params(state_dict, f"{ref}.pointwise_conv2d.0")
+        bp["pointwise_norm"] = np_
+        bs["pointwise_norm"] = ns_
+        bp["pointwise_conv2d"] = _conv2d_params(state_dict, f"{ref}.pointwise_conv2d.1")
+    return bp, bs
+
+
+def convert_mm_densenet(state_dict: Mapping, config: Mapping) -> Dict:
+    """Reference MMDenseNet (src/models/mm_densenet.py:141) -> flax variables."""
+    bands = list(config["bands"]) + ["full"]
+    depth_cfg = config["depth"]
+    growth_cfg = config["growth_rate"]
+
+    params: Dict = {}
+    stats: Dict = {}
+    for name in ("scale_in", "bias_in", "scale_out", "bias_out"):
+        params[name] = _np(state_dict[name])
+
+    for band in bands:
+        gr = growth_cfg[band]
+        n_stages = len(gr)
+        depth = depth_cfg[band]
+        bp, bs = _m_densenet_backbone_params(state_dict, f"net.{band}", n_stages, depth)
+        params[f"net_{band}"] = bp
+        stats[f"net_{band}"] = bs
+
+    depth_final = config.get("depth_final") or config.get("final", {}).get("depth")
+    p, s = _dense_block_params(state_dict, "dense_block", depth_final)
+    params["dense_block"], stats["dense_block"] = p, s
+    np_, ns_ = _bn_params(state_dict, "norm2d")
+    params["norm2d"], stats["norm2d"] = np_, ns_
+    params["glu2d"] = {
+        "map": _conv2d_params(state_dict, "glu2d.map"),
+        "gate": _conv2d_params(state_dict, "glu2d.map_gate"),
+    }
+    return {"params": params, "batch_stats": stats}
+
+
+def _frame_rnn_params(state_dict: Mapping, prefix: str, causal: bool) -> Dict:
+    """Reference DenseRNN block's flat {bottleneck_conv2d, rnn, linear}
+    (src/models/dense_rnn.py:160-206) -> our FrameRNN."""
+    return {
+        "bottleneck_conv2d": _conv2d_params(state_dict, f"{prefix}.bottleneck_conv2d"),
+        "rnn": lstm_params(state_dict, f"{prefix}.rnn", num_layers=1,
+                           bidirectional=not causal),
+        "linear": _dense_params(state_dict, f"{prefix}.linear", conv=False),
+    }
+
+
+def _dense_rnn_block_params(state_dict: Mapping, prefix: str, depth: int,
+                            hidden: int, causal: bool):
+    """Reference DenseRNN*Block under `prefix` -> our DenseRNNBlock tree.
+
+    hidden == 0: reference stores a plain DenseBlock (keys `{prefix}.net.{k}`).
+    hidden > 0: reference flattens {dense_block, bottleneck_conv2d, rnn,
+    linear}; ours nests the last three under rnn_block.
+    """
+    if hidden <= 0:
+        p, s = _dense_block_params(state_dict, prefix, depth)
+        return {"dense_block": p}, {"dense_block": s}
+    p, s = _dense_block_params(state_dict, f"{prefix}.dense_block", depth)
+    params = {"dense_block": p, "rnn_block": _frame_rnn_params(state_dict, prefix, causal)}
+    return params, {"dense_block": s}
+
+
+def convert_mm_dense_rnn(state_dict: Mapping, config: Mapping) -> Dict:
+    """Reference MMDenseRNN/MMDenseLSTM (src/models/mm_dense_rnn.py:143,
+    mm_dense_lstm.py:204) -> flax variables."""
+    bands = list(config["bands"]) + ["full"]
+    causal = bool(config.get("causal", False))
+    depth_cfg = config["depth"]
+    growth_cfg = config["growth_rate"]
+    hidden_cfg = config["hidden_channels"]
+
+    params: Dict = {}
+    stats: Dict = {}
+    for name in ("scale_in", "bias_in", "scale_out", "bias_out"):
+        params[name] = _np(state_dict[name])
+
+    for band in bands:
+        gr = growth_cfg[band]
+        n_stages = len(gr)
+        n_enc = n_stages // 2
+        depth = depth_cfg[band]
+        hidden = hidden_cfg[band]
+        ref = f"net.{band}"
+
+        bp: Dict = {"conv2d": _conv2d_params(state_dict, f"{ref}.conv2d")}
+        bs: Dict = {}
+        for i in range(n_enc):
+            # Encoder RNN blocks are unimplemented in the reference
+            # (m_dense_rnn.py:217), so hidden[i] == 0 here.
+            p, s = _dense_block_params(state_dict, f"{ref}.encoder.net.{i}.dense_block", depth[i])
+            bp[f"encoder{i}"] = {"dense_block": p}
+            bs[f"encoder{i}"] = {"dense_block": s}
+        p, s = _dense_rnn_block_params(
+            state_dict, f"{ref}.bottleneck_conv2d", depth[n_enc], hidden[n_enc], causal)
+        bp["bottleneck"] = p
+        bs["bottleneck"] = s
+        for j, idx in enumerate(range(n_enc + 1, n_stages)):
+            dref = f"{ref}.decoder.net.{j}"
+            np_, ns_ = _bn_params(state_dict, f"{dref}.norm2d")
+            bp[f"decoder{j}_norm"] = np_
+            bs[f"decoder{j}_norm"] = ns_
+            bp[f"decoder{j}_up"] = {
+                "kernel": conv_transpose2d_weight(state_dict[f"{dref}.upsample2d.weight"]),
+                "bias": _np(state_dict[f"{dref}.upsample2d.bias"]),
+            }
+            sub = f"{dref}.dense_rnn_block" if hidden[idx] > 0 else f"{dref}.dense_block"
+            p, s = _dense_rnn_block_params(state_dict, sub, depth[idx], hidden[idx], causal)
+            bp[f"decoder{j}"] = p
+            bs[f"decoder{j}"] = s
+        if f"{ref}.pointwise_conv2d.0.weight" in state_dict:
+            np_, ns_ = _bn_params(state_dict, f"{ref}.pointwise_conv2d.0")
+            bp["pointwise_norm"] = np_
+            bs["pointwise_norm"] = ns_
+            bp["pointwise_conv2d"] = _conv2d_params(state_dict, f"{ref}.pointwise_conv2d.1")
+        params[f"net_{band}"] = bp
+        stats[f"net_{band}"] = bs
+
+    depth_final = config.get("depth_final") or config.get("final", {}).get("depth")
+    hidden_final = int(config.get("hidden_channels_final") or 0)
+    p, s = _dense_rnn_block_params(state_dict, "dense_block", depth_final, hidden_final, causal)
+    params["dense_block"], stats["dense_block"] = p, s
+    np_, ns_ = _bn_params(state_dict, "norm2d")
+    params["norm2d"], stats["norm2d"] = np_, ns_
+    params["glu2d"] = {
+        "map": _conv2d_params(state_dict, "glu2d.map"),
+        "gate": _conv2d_params(state_dict, "glu2d.map_gate"),
+    }
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_mrx(state_dict: Mapping, config: Mapping) -> Dict:
+    """Reference MultiResolutionCrossNet (src/models/mrx.py:14) -> flax
+    variables. encoder scale_in/bias_in are dropped: the reference forward
+    never applies them (see models/mrx.py docstring)."""
+    causal = bool(config.get("causal", False))
+    # get_config stores per-resolution lists for num_layers (mrx.py).
+    num_layers = config.get("num_layers", 3)
+    n_ffts = config["n_fft"]
+    n_res = len(n_ffts) if isinstance(n_ffts, (list, tuple)) else 3
+    if isinstance(num_layers, (list, tuple)):
+        num_layers = [int(v) for v in num_layers]
+    else:
+        num_layers = [int(num_layers)] * n_res
+    sources = list(config["sources"])
+
+    params: Dict = {}
+    stats: Dict = {}
+    for i in range(n_res):
+        bp, bs = _transform_block_params(state_dict, f"encoder_blocks.{i}.block")
+        params[f"enc_block{i}"] = bp
+        stats[f"enc_block{i}"] = bs
+        params[f"rnn{i}"] = lstm_params(
+            state_dict, f"encoder_blocks.{i}.rnn", num_layers=num_layers[i],
+            bidirectional=not causal,
+        )
+    for source in sources:
+        for i in range(n_res):
+            ref = f"decoder_blocks.{source}.{i}"
+            params[f"scale_out_{source}_{i}"] = _np(state_dict[f"{ref}.scale_out"])
+            params[f"bias_out_{source}_{i}"] = _np(state_dict[f"{ref}.bias_out"])
+            for ours, sub in ((f"dec_{source}_{i}_net0", "net.0"),
+                              (f"dec_{source}_{i}_net1", "net.1")):
+                bp, bs = _transform_block_params(state_dict, f"{ref}.{sub}")
+                params[ours] = bp
+                stats[ours] = bs
     return {"params": params, "batch_stats": stats}

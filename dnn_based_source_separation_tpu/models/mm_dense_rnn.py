@@ -242,6 +242,7 @@ class MMDenseRNN(nn.Module, SeparationModelMixin):
                 norm=self._band_cfg(self.norm, band),
                 nonlinear=self._band_cfg(self.nonlinear, band),
                 depth=self._band_cfg(self.depth, band),
+                causal=self.causal,
                 rnn_type=self.rnn_type, rnn_position=self.rnn_position,
                 out_channels=extra, eps=self.eps, name=f"net_{band}",
             )(xb, train=train)

@@ -49,11 +49,16 @@ class MultiResolutionCrossNet(nn.Module, SeparationModelMixin):
         B, _, T = input.shape
         n_ffts = list(self.n_fft)
 
-        # Per-resolution analysis + fc blocks.
+        # Per-resolution analysis + fc blocks. The reference's in-model STFT
+        # (mrx.py:350-366) zero-pads (n_fft//2, n_fft//2 + hop) and runs
+        # center=False -- constant padding plus one extra trailing frame, NOT
+        # the usual reflect-centered torch.stft. Reproduced exactly.
         latents, enc_feats = [], []
         for i, nf in enumerate(n_ffts):
             w = build_window(nf, self.window_fn)
-            spec = stft(input, nf, self.hop_length, window=w)  # (B, C, F, S)
+            pad = nf // 2
+            xp = jnp.pad(input, ((0, 0), (0, 0), (pad, pad + self.hop_length)))
+            spec = stft(xp, nf, self.hop_length, window=w, center=False)  # (B, C, F, S)
             latents.append(spec)
             amp = jnp.abs(spec)
             n_frames = amp.shape[-1]

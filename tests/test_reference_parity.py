@@ -309,3 +309,183 @@ def test_d3net_forward_parity(reference_src):
     variables = _to_jax(convert_d3net(dict(ref.state_dict()), ref.get_config()))
     ours = model.apply(variables, jnp.asarray(x.numpy()))
     assert _max_err(ours, expected) < ATOL
+
+
+def test_lstm_tasnet_forward_parity(reference_src):
+    from models.tasnet import TasNet as RefTasNet
+
+    from dnn_based_source_separation_tpu.hub.torch_convert import convert_lstm_tasnet
+    from dnn_based_source_separation_tpu.models.lstm_tasnet import LSTMTasNet
+
+    torch.manual_seed(10)
+    kwargs = dict(
+        n_basis=16, kernel_size=8, stride=4, enc_basis="trainableGated",
+        dec_basis="trainable", sep_num_blocks=2, sep_num_layers=1,
+        sep_hidden_channels=12, causal=False, n_sources=2,
+    )
+    ref = RefTasNet(**kwargs).eval()
+    x = torch.randn(2, 1, 160)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+
+    model = LSTMTasNet(**kwargs)
+    params = _to_jax(convert_lstm_tasnet(dict(ref.state_dict()), ref.get_config()))
+    ours = model.apply(params, jnp.asarray(x.numpy()))
+    assert _max_err(ours, expected) < ATOL
+
+
+def test_xumx_forward_parity(reference_src):
+    from models.xumx import CrossNetOpenUnmix as RefXUMX
+
+    from dnn_based_source_separation_tpu.hub.torch_convert import convert_xumx
+    from dnn_based_source_separation_tpu.models.xumx import CrossNetOpenUnmix
+
+    torch.manual_seed(11)
+    kwargs = dict(
+        in_channels=2, hidden_channels=12, num_layers=2,
+        n_bins=17, max_bin=12, dropout=0.0, causal=False,
+        sources=["drums", "bass"],
+    )
+    ref = RefXUMX(**kwargs).eval()
+    x = torch.rand(2, 1, 2, 17, 9)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+
+    model = CrossNetOpenUnmix(**{**kwargs, "sources": tuple(kwargs["sources"])})
+    variables = _to_jax(convert_xumx(dict(ref.state_dict()), ref.get_config()))
+    ours = model.apply(variables, jnp.asarray(x.numpy()))
+    assert _max_err(ours, expected) < ATOL
+
+
+def test_mm_densenet_forward_parity(reference_src):
+    from models.mm_densenet import MMDenseNet as RefMMDenseNet
+
+    from dnn_based_source_separation_tpu.hub.torch_convert import convert_mm_densenet
+    from dnn_based_source_separation_tpu.models import MMDenseNet
+
+    torch.manual_seed(12)
+    band = lambda v: {"low": v, "middle": v, "full": v}
+    common = dict(
+        in_channels=2,
+        num_features=band(4),
+        growth_rate={"low": [2, 3, 2], "middle": [2, 2, 2], "full": [2, 3, 2]},
+        kernel_size=band(3),
+        bands=["low", "middle"], sections=[16, 16],
+        scale=band((2, 2)),
+        dilated=band([False] * 3), norm=band([True] * 3), nonlinear=band(["relu"] * 3),
+        depth=band([2, 2, 2]),
+        growth_rate_final=3, kernel_size_final=3, depth_final=2,
+    )
+    ref = RefMMDenseNet(**common).eval()
+    x = torch.rand(1, 2, 32, 16)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+
+    model = MMDenseNet(**common)
+    variables = _to_jax(convert_mm_densenet(dict(ref.state_dict()), ref.get_config()))
+    ours = model.apply(variables, jnp.asarray(x.numpy()))
+    assert _max_err(ours, expected) < ATOL
+
+
+def test_mm_dense_lstm_forward_parity(reference_src):
+    """RNN in the bottleneck, decoder, and final block (parallel position)."""
+    from models.mm_dense_lstm import MMDenseLSTM as RefMMDenseLSTM
+
+    from dnn_based_source_separation_tpu.hub.torch_convert import convert_mm_dense_rnn
+    from dnn_based_source_separation_tpu.models import MMDenseLSTM
+
+    torch.manual_seed(13)
+    band = lambda v: {"low": v, "middle": v, "full": v}
+    common = dict(
+        in_channels=2,
+        num_features=band(4),
+        growth_rate={"low": [2, 3, 2], "middle": [2, 2, 2],
+                     "full": [2, 2, 2, 2, 2]},
+        hidden_channels={"low": [0, 3, 0], "middle": [0, 3, 0],
+                         "full": [0, 0, 3, 2, 0]},
+        kernel_size=band(3),
+        bands=["low", "middle"], sections=[16, 16],
+        scale=band((2, 2)),
+        dilated={"low": [False] * 3, "middle": [False] * 3, "full": [False] * 5},
+        norm={"low": [True] * 3, "middle": [True] * 3, "full": [True] * 5},
+        nonlinear={"low": ["relu"] * 3, "middle": ["relu"] * 3, "full": ["relu"] * 5},
+        depth={"low": [2, 2, 2], "middle": [2, 2, 2], "full": [2] * 5},
+        causal=False,
+        # hidden_channels_final must be 0: the reference head BN is sized
+        # to growth_rate_final only (all paper configs use 0 here).
+        growth_rate_final=3, hidden_channels_final=0,
+        kernel_size_final=3, depth_final=2,
+    )
+    ref = RefMMDenseLSTM(**{**common, "rnn_position": "parallel"}).eval()
+    x = torch.rand(1, 2, 32, 16)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+
+    model = MMDenseLSTM(**common, rnn_position="parallel")
+    variables = _to_jax(convert_mm_dense_rnn(dict(ref.state_dict()), ref.get_config()))
+    ours = model.apply(variables, jnp.asarray(x.numpy()))
+    assert _max_err(ours, expected) < ATOL
+
+
+def test_mrx_forward_parity(reference_src):
+    from models.mrx import MultiResolutionCrossNet as RefMRX
+
+    from dnn_based_source_separation_tpu.hub.torch_convert import convert_mrx
+    from dnn_based_source_separation_tpu.models.mrx import MultiResolutionCrossNet
+
+    torch.manual_seed(14)
+    ref = RefMRX(2, hidden_channels=12, num_layers=2, n_fft=[32, 64],
+                 hop_length=16, sources=["music", "speech"]).eval()
+    x = torch.randn(1, 1, 2, 800)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+
+    model = MultiResolutionCrossNet(
+        in_channels=2, hidden_channels=12, num_layers=2, n_fft=(32, 64),
+        hop_length=16, sources=("music", "speech"),
+    )
+    variables = _to_jax(convert_mrx(dict(ref.state_dict()), ref.get_config()))
+    ours = model.apply(variables, jnp.asarray(x.numpy()[:, 0]))
+    assert _max_err(ours, expected.squeeze(0)[None] if expected.ndim == 3 else expected) < ATOL
+
+
+def test_checkpoint_dispatch_new_families(reference_src, tmp_path):
+    """build_from_torch_checkpoint routes reference checkpoints of the new
+    families to the right architecture and reproduces the torch forward."""
+    from models.tasnet import TasNet as RefTasNet
+    from models.xumx import CrossNetOpenUnmix as RefXUMX
+
+    from dnn_based_source_separation_tpu.hub import build_from_torch_checkpoint
+    from dnn_based_source_separation_tpu.models.lstm_tasnet import LSTMTasNet
+    from dnn_based_source_separation_tpu.models.xumx import CrossNetOpenUnmix
+
+    torch.manual_seed(15)
+    ref = RefTasNet(n_basis=16, kernel_size=8, stride=4,
+                    enc_basis="trainableGated", dec_basis="trainable",
+                    sep_num_blocks=2, sep_num_layers=1,
+                    sep_hidden_channels=12, causal=False, n_sources=2).eval()
+    pkg = ref.get_config()
+    pkg["state_dict"] = ref.state_dict()
+    torch.save(pkg, tmp_path / "tasnet.pth")
+    model, params = build_from_torch_checkpoint(str(tmp_path / "tasnet.pth"))
+    assert isinstance(model, LSTMTasNet)
+    x = torch.randn(1, 1, 160)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+    ours = model.apply(_to_jax(params), jnp.asarray(x.numpy()))
+    assert _max_err(ours, expected) < ATOL
+
+    ref = RefXUMX(in_channels=2, hidden_channels=12, num_layers=2,
+                  n_bins=17, max_bin=12, dropout=0.0, causal=False,
+                  sources=["drums", "bass"]).eval()
+    pkg = ref.get_config()
+    pkg["n_bins"], pkg["max_bin"] = 17, 12
+    pkg["state_dict"] = ref.state_dict()
+    torch.save(pkg, tmp_path / "xumx.pth")
+    model, variables = build_from_torch_checkpoint(str(tmp_path / "xumx.pth"))
+    assert isinstance(model, CrossNetOpenUnmix)
+    x = torch.rand(1, 1, 2, 17, 9)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+    ours = model.apply(_to_jax(variables), jnp.asarray(x.numpy()))
+    assert _max_err(ours, expected) < ATOL

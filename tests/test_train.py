@@ -149,3 +149,71 @@ def test_trainer_with_mesh_end_to_end(tmp_path):
     trainer.run()
     assert len(trainer.train_loss) == 1
     assert np.isfinite(trainer.train_loss[0])
+
+
+def _si_sdri(model, params, mixture, sources):
+    """Mean SI-SDR improvement (dB) of model estimates over the mixture."""
+    from dnn_based_source_separation_tpu.criterion import NegSISDR, PIT1d
+
+    crit = PIT1d(NegSISDR(), n_sources=2)
+    est = model.apply(params, mixture)
+    loss, _ = crit(est, sources)
+    tiled = jnp.tile(mixture, (1, sources.shape[1], 1))
+    loss_mix, _ = crit(tiled, sources)
+    return float(loss_mix) - float(loss)
+
+
+def test_overfit_conv_tasnet_to_convergence():
+    """Overfit Conv-TasNet 600 steps on 4 fixed synthetic mixtures and
+    demand >20 dB SI-SDRi. A 3-step smoke can pass with broken gradients,
+    mask application, or decoder folding; reaching 20 dB cannot.
+    Runs in ~15 s on the CPU mesh."""
+    model = ConvTasNet(
+        n_basis=32, kernel_size=8, stride=4, enc_basis="trainable",
+        dec_basis="trainable", enc_nonlinear="relu",
+        sep_hidden_channels=32, sep_bottleneck_channels=16, sep_skip_channels=16,
+        sep_num_blocks=2, sep_num_layers=2, causal=False, n_sources=2,
+    )
+    ds = SyntheticMixtureDataset(n_items=4, samples=400)
+    mixture, sources = next(iter(DataLoader(ds, batch_size=4)))
+    mixture, sources = jnp.asarray(mixture), jnp.asarray(sources)
+
+    params = model.init(jax.random.PRNGKey(0), mixture)
+    opt = make_optimizer("adam", 5e-3, max_norm=5.0)
+    opt_state = opt.init(params["params"])
+    criterion = PIT1d(NegSISDR(), n_sources=2)
+    step = make_train_step(model, criterion, opt)
+
+    for _ in range(600):
+        params, opt_state, loss = step(params, opt_state, mixture, sources)
+
+    sdri = _si_sdri(model, params, mixture, sources)
+    assert sdri > 20.0, f"overfit SI-SDRi only {sdri:.2f} dB (loss {float(loss):.2f})"
+
+
+def test_overfit_dprnn_tasnet_to_convergence():
+    """Same harness through the DPRNN path (scan-LSTM grads, segmentation)."""
+    from dnn_based_source_separation_tpu.models import DPRNNTasNet
+
+    model = DPRNNTasNet(
+        n_basis=32, kernel_size=4, stride=2, enc_basis="trainable",
+        dec_basis="trainable", enc_nonlinear="relu",
+        sep_bottleneck_channels=16, sep_hidden_channels=16,
+        sep_chunk_size=20, sep_hop_size=10, sep_num_blocks=2,
+        causal=False, n_sources=2,
+    )
+    ds = SyntheticMixtureDataset(n_items=4, samples=400)
+    mixture, sources = next(iter(DataLoader(ds, batch_size=4)))
+    mixture, sources = jnp.asarray(mixture), jnp.asarray(sources)
+
+    params = model.init(jax.random.PRNGKey(0), mixture)
+    opt = make_optimizer("adam", 5e-3, max_norm=5.0)
+    opt_state = opt.init(params["params"])
+    criterion = PIT1d(NegSISDR(), n_sources=2)
+    step = make_train_step(model, criterion, opt)
+
+    for _ in range(600):
+        params, opt_state, loss = step(params, opt_state, mixture, sources)
+
+    sdri = _si_sdri(model, params, mixture, sources)
+    assert sdri > 20.0, f"overfit SI-SDRi only {sdri:.2f} dB (loss {float(loss):.2f})"

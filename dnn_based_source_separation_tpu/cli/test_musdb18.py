@@ -53,7 +53,7 @@ def main(args=None):
 
     dataset = musdb.WaveTestDataset(args.musdb18_root, sources=sources)
     evaluater = Evaluater(sources=sources, sample_rate=args.sample_rate,
-                          win=args.win, filt_len=args.filt_len)
+                          win=args.win, hop=args.win, filt_len=args.filt_len)
 
     chunk = int(args.duration * args.sample_rate)
     forward = jax.jit(model.apply)
@@ -104,7 +104,12 @@ def main(args=None):
         print(f"{name}: done ({T / args.sample_rate:.1f}s)", flush=True)
 
     table = evaluater.aggregate()
-    print("SDR (median of medians):", ", ".join(f"{k}: {v:.2f}" for k, v in table.items()), flush=True)
+    for metric in Evaluater.METRICS:
+        print(
+            f"{metric} (median of medians):",
+            ", ".join(f"{k}: {v[metric]:.2f}" for k, v in table.items()),
+            flush=True,
+        )
     return table
 
 

@@ -29,3 +29,4 @@ from .furcanet import FurcaNet
 from .lasaft import LaSAFT, TFCLaSAFT, TDF2d, TFC2d
 from .vision import MLPMixer, PoolFormer, ViT
 from .film import film, pocm, gpocm
+from .wrappers import SpectrogramMaskingWrapper

@@ -175,26 +175,50 @@ def framewise_sdr(references: np.ndarray, estimates: np.ndarray, sample_rate: in
 
 
 class Evaluater:
-    """musdb18-style: median-over-frames, median-over-tracks SDR table."""
+    """musdb18-style museval v4 evaluation.
+
+    Per track: BSS Eval v4 (global 512-tap filters, framewise 1 s
+    SDR/ISR/SIR/SAR energy ratios), median over frames; then median over
+    tracks -- museval `EvalStore(frames_agg='median', tracks_agg='median')`
+    semantics (reference egs/musdb18/common/src/driver.py:301-330).
+    Stereo (n_src, T, C) inputs are evaluated as images; mono (n_src, T)
+    as single-channel images.
+    """
+
+    METRICS = ("SDR", "ISR", "SIR", "SAR")
 
     def __init__(self, sources=("bass", "drums", "other", "vocals"), sample_rate: int = 44100,
-                 win: float = 1.0, filt_len: int = 512):
+                 win: float = 1.0, hop: float = 1.0, filt_len: int = 512):
         self.sources = list(sources)
         self.sample_rate = sample_rate
         self.win = win
+        self.hop = hop
         self.filt_len = filt_len
-        self.track_scores = []
+        self.track_scores = []  # list of (n_src, 4) frame-medians
 
     def add_track(self, references: np.ndarray, estimates: np.ndarray):
-        """references/estimates: (n_src, T) (mono) or (n_src, T, C)."""
-        if references.ndim == 3:
-            references = references.mean(axis=-1)
-            estimates = estimates.mean(axis=-1)
-        self.track_scores.append(
-            framewise_sdr(references, estimates, self.sample_rate, self.win, self.filt_len)
+        """references/estimates: (n_src, T) mono or (n_src, T, C) images."""
+        from ..utils.bss import bss_eval_v4
+
+        framewise = bss_eval_v4(
+            references, estimates, self.sample_rate,
+            win=self.win, hop=self.hop, filt_len=self.filt_len,
         )
+        per_src = np.stack(
+            [np.nanmedian(framewise[m], axis=1) for m in self.METRICS], axis=1
+        )  # (n_src, 4): median over frames
+        self.track_scores.append(per_src)
+        return framewise
 
     def aggregate(self):
-        scores = np.stack(self.track_scores)  # (n_tracks, n_src)
-        med = np.nanmedian(scores, axis=0)
-        return {name: float(v) for name, v in zip(self.sources, med)}
+        """{source: {metric: median-over-tracks}} plus flat {source: SDR}."""
+        scores = np.stack(self.track_scores)  # (n_tracks, n_src, 4)
+        med = np.nanmedian(scores, axis=0)  # (n_src, 4)
+        table = {
+            name: {m: float(v) for m, v in zip(self.METRICS, row)}
+            for name, row in zip(self.sources, med)
+        }
+        # Backwards-compatible flat SDR view.
+        for name in self.sources:
+            table[name]["value"] = table[name]["SDR"]
+        return table

@@ -130,7 +130,9 @@ def test_musdb18_full_pipeline_with_eval(musdb_corpus, tmp_path):
         "--out_dir", str(tmp_path / "est"),
     ])
     assert set(table) == {"bass", "drums", "other", "vocals"}
-    assert all(np.isfinite(v) for v in table.values())
+    for stem in table.values():
+        for metric in ("SDR", "ISR", "SIR", "SAR"):
+            assert np.isfinite(stem[metric])
 
 
 def test_oracle_masks_cli(wsj0_corpus):

@@ -92,12 +92,62 @@ def test_framewise_sdr_and_evaluater():
     perfect = refs.copy()
     noisy = refs + 0.1 * rng.standard_normal((2, T))
 
-    ev = Evaluater(sources=("a", "b"), sample_rate=4000, win=0.5, filt_len=8)
+    ev = Evaluater(sources=("a", "b"), sample_rate=4000, win=0.5, hop=0.5, filt_len=8)
     ev.add_track(refs, perfect)
     ev.add_track(refs, noisy)
     table = ev.aggregate()
-    assert table["a"] > 15 and table["b"] > 15
+    assert table["a"]["SDR"] > 15 and table["b"]["SDR"] > 15
+    for m in Evaluater.METRICS:
+        assert np.isfinite(table["a"][m])
 
     s_perfect = framewise_sdr(refs, perfect, 4000, win=0.5, filt_len=8)
     s_noisy = framewise_sdr(refs, noisy, 4000, win=0.5, filt_len=8)
     assert np.all(s_perfect > s_noisy)
+
+
+def test_bss_eval_v4_analytic_cases():
+    """museval-v4 invariants with analytically known values."""
+    from dnn_based_source_separation_tpu.utils.bss import bss_eval_v4
+
+    rng = np.random.default_rng(2)
+    sr, T = 1000, 4000
+    refs = rng.standard_normal((2, T, 2))  # stereo images
+
+    # est = 2 * ref: e_spat = s_true exactly, so ISR = 0 dB and SDR = 0 dB.
+    res = bss_eval_v4(refs, 2.0 * refs, sr, filt_len=16)
+    assert np.allclose(np.nanmedian(res["ISR"]), 0.0, atol=0.1)
+    assert np.allclose(np.nanmedian(res["SDR"]), 0.0, atol=0.1)
+    assert np.nanmedian(res["SIR"]) > 40  # no interference
+
+    # est_0 = ref_0 + 0.1 * ref_1: e_interf ~= 0.1 ref_1 (global filters
+    # recover it), so SIR ~= 20 dB and SDR ~= SIR; ISR/SAR very high.
+    est = refs.copy()
+    est[0] += 0.1 * refs[1]
+    res = bss_eval_v4(refs, est, sr, filt_len=16)
+    sir0 = np.nanmedian(res["SIR"][0])
+    sdr0 = np.nanmedian(res["SDR"][0])
+    assert abs(sir0 - 20.0) < 0.7, sir0
+    assert abs(sdr0 - 20.0) < 0.7, sdr0
+    assert np.nanmedian(res["ISR"][0]) > 40
+    assert np.nanmedian(res["SAR"][0]) > 40
+
+    # Silent-reference windows yield NaN, not garbage.
+    refs_sil = refs.copy()
+    refs_sil[0, :1000] = 0.0
+    res = bss_eval_v4(refs_sil, refs_sil, sr, filt_len=16)
+    assert np.isnan(res["SDR"][0, 0])
+    assert np.isfinite(res["SDR"][0, 2])
+
+
+def test_bss_eval_v4_mono_matches_image_form():
+    """Mono (n_src, T) input is evaluated as 1-channel images."""
+    from dnn_based_source_separation_tpu.utils.bss import bss_eval_v4
+
+    rng = np.random.default_rng(3)
+    sr, T = 1000, 3000
+    refs = rng.standard_normal((2, T))
+    est = refs + 0.05 * rng.standard_normal((2, T))
+    res2d = bss_eval_v4(refs, est, sr, filt_len=16)
+    res3d = bss_eval_v4(refs[..., None], est[..., None], sr, filt_len=16)
+    for m in ("SDR", "ISR", "SIR", "SAR"):
+        np.testing.assert_allclose(res2d[m], res3d[m], atol=1e-9)

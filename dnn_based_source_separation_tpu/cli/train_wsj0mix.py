@@ -78,6 +78,43 @@ def main(args=None):
 
     samples = int(args.duration * args.sample_rate)
     valid_samples = int(args.valid_duration * args.sample_rate)
+
+    optimizer = make_optimizer(args.optimizer, args.lr, max_norm=args.max_norm)
+    mesh = make_mesh(args.n_devices) if args.n_devices else None
+    config = TrainerConfig(
+        epochs=args.epochs, exp_dir=args.exp_dir,
+        continue_from=args.continue_from, overwrite=bool(args.overwrite),
+        sample_rate=args.sample_rate,
+    )
+    import jax.numpy as jnp
+
+    if args.criterion == "orpit":
+        # One-and-Rest PIT: variable #speakers per utterance, model always
+        # estimates the (one, rest) pair (reference egs/wsj0-mix/
+        # orpit_conv-tasnet/). args.n_sources is interpreted as max_sources.
+        from ..criterion import ORPIT
+        from ..data.wsj0mix import WaveTrainVariableSourcesDataset
+        from ..train.trainer import ORPITTrainer
+
+        max_sources = args.n_sources
+        args.n_sources = 2  # (one, rest) estimate pair
+        model = build_wsj0mix_model(args)
+        train_ds = WaveTrainVariableSourcesDataset(
+            args.train_wav_root, args.train_list_path, samples=samples,
+            max_sources=max_sources)
+        valid_ds = WaveTrainVariableSourcesDataset(
+            args.valid_wav_root, args.valid_list_path, samples=valid_samples,
+            max_sources=max_sources)
+        print(f"Training dataset includes {len(train_ds)} samples.", flush=True)
+        print(f"Valid dataset includes {len(valid_ds)} samples.", flush=True)
+        train_loader = DataLoader(train_ds, batch_size=args.batch_size, shuffle=True, seed=args.seed)
+        valid_loader = DataLoader(valid_ds, batch_size=args.batch_size)
+        trainer = ORPITTrainer(
+            model, train_loader, valid_loader, ORPIT(NegSISDR()), optimizer,
+            config, mesh=mesh)
+        trainer.run()
+        return trainer
+
     train_ds = WaveTrainDataset(args.train_wav_root, args.train_list_path,
                                 samples=samples, n_sources=args.n_sources)
     valid_ds = WaveEvalDataset(args.valid_wav_root, args.valid_list_path,
@@ -93,15 +130,6 @@ def main(args=None):
     if args.criterion != "sisdr":
         raise ValueError(f"Unsupported criterion: {args.criterion}")
     criterion = PIT1d(NegSISDR(), n_sources=args.n_sources)
-    optimizer = make_optimizer(args.optimizer, args.lr, max_norm=args.max_norm)
-
-    mesh = make_mesh(args.n_devices) if args.n_devices else None
-    config = TrainerConfig(
-        epochs=args.epochs, exp_dir=args.exp_dir,
-        continue_from=args.continue_from, overwrite=bool(args.overwrite),
-        sample_rate=args.sample_rate,
-    )
-    import jax.numpy as jnp
 
     trainer = Trainer(
         model, train_loader, valid_loader, criterion, optimizer, config,

@@ -1,0 +1,205 @@
+"""Pallas fused LSTM step for the dual-path workloads.
+
+The stock path (`ops/rnn.py`) precomputes the input projection as one large
+MXU matmul and runs the recurrence as a `lax.scan`. On TPU that scan is the
+throughput ceiling for DPRNN/DPTNet/SepFormer/UMX (BENCHMARKS.md: ~10x below
+the conv models): every step XLA re-launches a small (B, H) x (H, 4H) matmul
+plus pointwise gates, and the carry plus per-step intermediates bounce
+through HBM.
+
+This kernel fuses the whole recurrence into ONE pallas_call:
+
+  * `w_hh` lives in VMEM for the entire sequence (index_map pins block 0, so
+    Mosaic never re-fetches it);
+  * the (B, H) h/c carry lives in f32 VMEM scratch, which persists across
+    sequential grid steps — it never touches HBM;
+  * the precomputed input gates `xw` stream in as (CHUNK, B, 4H) blocks and
+    hidden states stream out as (CHUNK, B, H) blocks; Pallas double-buffers
+    both DMAs against compute automatically;
+  * per-step matmul feeds the MXU with f32 accumulation
+    (`preferred_element_type`), gate pointwise math runs on the VPU in f32.
+
+HBM traffic is therefore the information-theoretic floor for this op — read
+xw once, write hs (and cs for autodiff) once.
+
+Autodiff: `pallas_call` is not differentiable, so `lstm_scan` is a
+`jax.custom_vjp`. The backward pass recomputes gate pre-activations from the
+saved (hs, cs) with ONE large matmul (rematerialization: trades FLOPs for
+the (B, T, 4H) activation save) and runs the reverse recurrence as a
+`lax.scan` — the same cost shape the forward had before this kernel, so
+training throughput only improves.
+
+Capability parity: torch nn.LSTM forward semantics (reference
+`src/utils/model.py:22` choose_rnn); gate order i, f, g, o.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Cap on the xw bytes held in VMEM per grid step (double-buffered by Mosaic,
+# so the real footprint is ~2x this plus the hs/cs output blocks).
+_VMEM_BLOCK_BYTES = 1 << 21  # 2 MiB
+
+
+def _is_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def pallas_lstm_enabled() -> bool:
+    """Pallas recurrence on real TPU by default; DNNTPU_PALLAS_LSTM=0/1 overrides."""
+    flag = os.environ.get("DNNTPU_PALLAS_LSTM")
+    if flag is not None:
+        return flag not in ("0", "false", "False")
+    return _is_tpu()
+
+
+def _lstm_kernel(xw_ref, whh_ref, hs_ref, cs_ref, h_ref, c_ref, *, chunk: int, hidden: int):
+    """One grid step = `chunk` timesteps. Scratch h/c persist across steps."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        h_ref[:] = jnp.zeros_like(h_ref)
+        c_ref[:] = jnp.zeros_like(c_ref)
+
+    def step(i, _):
+        xt = xw_ref[i]  # (B, 4H)
+        h = h_ref[:]
+        gates = xt.astype(jnp.float32) + jnp.dot(
+            h.astype(whh_ref.dtype), whh_ref[:], preferred_element_type=jnp.float32
+        )
+        gi = jax.nn.sigmoid(gates[:, :hidden])
+        gf = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+        gg = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+        go = jax.nn.sigmoid(gates[:, 3 * hidden:])
+        c = gf * c_ref[:] + gi * gg
+        h = go * jnp.tanh(c)
+        h_ref[:] = h
+        c_ref[:] = c
+        hs_ref[i] = h.astype(hs_ref.dtype)
+        cs_ref[i] = c.astype(cs_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, chunk, step, 0, unroll=False)
+
+
+def _time_chunk(T: int, B: int, four_h: int, itemsize: int) -> int:
+    per_step = max(1, B * four_h * itemsize)
+    chunk = max(1, _VMEM_BLOCK_BYTES // per_step)
+    return min(T, chunk)
+
+
+def _lstm_pallas_raw(xw: jnp.ndarray, w_hh: jnp.ndarray, interpret: bool):
+    """xw (B, T, 4H) -> (hs, cs) each (B, T, H)."""
+    B, T, four_h = xw.shape
+    H = four_h // 4
+    dtype = xw.dtype
+
+    chunk = _time_chunk(T, B, four_h, jnp.dtype(dtype).itemsize)
+    T_pad = -(-T // chunk) * chunk
+    xw_t = jnp.swapaxes(xw, 0, 1)  # (T, B, 4H)
+    if T_pad != T:
+        # Trailing zero-padding is harmless: padded steps are discarded and
+        # never feed back into the first T real steps.
+        xw_t = jnp.pad(xw_t, ((0, T_pad - T), (0, 0), (0, 0)))
+
+    grid = (T_pad // chunk,)
+    kernel = functools.partial(_lstm_kernel, chunk=chunk, hidden=H)
+    hs, cs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((chunk, B, four_h), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, four_h), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((chunk, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T_pad, B, H), dtype),
+            jax.ShapeDtypeStruct((T_pad, B, H), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xw_t, w_hh)
+    hs = jnp.swapaxes(hs[:T], 0, 1)
+    cs = jnp.swapaxes(cs[:T], 0, 1)
+    return hs, cs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def lstm_scan(xw: jnp.ndarray, w_hh: jnp.ndarray, interpret: bool = False):
+    """Fused LSTM recurrence: xw (B, T, 4H) input gates -> hidden (B, T, H).
+
+    Drop-in replacement for `ops.rnn._lstm_scan`'s semantics (zero initial
+    state, torch gate order). `interpret=True` runs the Mosaic interpreter so
+    the CPU test mesh exercises identical code.
+    """
+    hs, _ = _lstm_pallas_raw(xw, w_hh, interpret)
+    return hs
+
+
+def _lstm_fwd(xw, w_hh, interpret):
+    hs, cs = _lstm_pallas_raw(xw, w_hh, interpret)
+    return hs, (xw, w_hh, hs, cs)
+
+
+def _lstm_bwd(interpret, res, g_hs):
+    xw, w_hh, hs, cs = res
+    B, T, H = hs.shape
+    f32 = jnp.float32
+
+    h_prev = jnp.concatenate([jnp.zeros((B, 1, H), hs.dtype), hs[:, :-1]], axis=1)
+    c_prev = jnp.concatenate([jnp.zeros((B, 1, H), cs.dtype), cs[:, :-1]], axis=1)
+
+    # Rematerialize all gate activations with one MXU matmul.
+    gates = xw.astype(f32) + jnp.einsum(
+        "bth,hk->btk", h_prev.astype(w_hh.dtype), w_hh, preferred_element_type=f32
+    )
+    gi = jax.nn.sigmoid(gates[..., :H])
+    gf = jax.nn.sigmoid(gates[..., H:2 * H])
+    gg = jnp.tanh(gates[..., 2 * H:3 * H])
+    go = jax.nn.sigmoid(gates[..., 3 * H:])
+    tc = jnp.tanh(cs.astype(f32))
+
+    w_hh_t = w_hh.astype(f32).T  # (4H, H)
+
+    def step(carry, xs):
+        dh_rec, dc_rec = carry
+        g_h, gi_t, gf_t, gg_t, go_t, tc_t, cp_t = xs
+        dh = g_h.astype(f32) + dh_rec
+        da_o = dh * tc_t * go_t * (1.0 - go_t)
+        dc = dc_rec + dh * go_t * (1.0 - tc_t * tc_t)
+        da_i = dc * gg_t * gi_t * (1.0 - gi_t)
+        da_f = dc * cp_t * gf_t * (1.0 - gf_t)
+        da_g = dc * gi_t * (1.0 - gg_t * gg_t)
+        da = jnp.concatenate([da_i, da_f, da_g, da_o], axis=-1)  # (B, 4H)
+        dh_prev = jnp.dot(da, w_hh_t, preferred_element_type=f32)
+        dc_prev = dc * gf_t
+        return (dh_prev, dc_prev), da
+
+    xs = tuple(
+        jnp.swapaxes(a, 0, 1)
+        for a in (g_hs, gi, gf, gg, go, tc, c_prev.astype(f32))
+    )
+    init = (jnp.zeros((B, H), f32), jnp.zeros((B, H), f32))
+    _, das = jax.lax.scan(step, init, xs, reverse=True)
+    das = jnp.swapaxes(das, 0, 1)  # (B, T, 4H)
+
+    d_xw = das.astype(xw.dtype)
+    d_whh = jnp.einsum(
+        "bth,btk->hk", h_prev.astype(f32), das, preferred_element_type=f32
+    ).astype(w_hh.dtype)
+    return d_xw, d_whh
+
+
+lstm_scan.defvjp(_lstm_fwd, _lstm_bwd)

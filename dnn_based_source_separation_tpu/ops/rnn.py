@@ -22,7 +22,17 @@ import jax.numpy as jnp
 
 
 def _lstm_scan(xw: jnp.ndarray, w_hh: jnp.ndarray, hidden_size: int):
-    """xw: (B, T, 4H) precomputed input gates; returns hidden states (B, T, H)."""
+    """xw: (B, T, 4H) precomputed input gates; returns hidden states (B, T, H).
+
+    On real TPU the recurrence runs as the fused Pallas kernel
+    (`ops/pallas_lstm.py`): w_hh and the h/c carry stay resident in VMEM for
+    the whole sequence instead of re-launching a small matmul per step.
+    `DNNTPU_PALLAS_LSTM=0` falls back to the lax.scan path below.
+    """
+    from .pallas_lstm import lstm_scan as _fused, pallas_lstm_enabled
+
+    if pallas_lstm_enabled():
+        return _fused(xw, w_hh, not jax.default_backend() == "tpu")
     B = xw.shape[0]
     H = hidden_size
     xw_t = jnp.swapaxes(xw, 0, 1)  # (T, B, 4H)

@@ -14,7 +14,8 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_optimizer(name: str = "adam", lr: float = 1e-3, max_norm: Optional[float] = None):
+def make_optimizer(name: str = "adam", lr: float = 1e-3, max_norm: Optional[float] = None,
+                   momentum: float = 0.9):
     """sgd/adam/rmsprop with optional global-norm clipping.
 
     Mirrors the recipe optimizer choice (`local/train.py:103-110`) and
@@ -23,9 +24,13 @@ def make_optimizer(name: str = "adam", lr: float = 1e-3, max_norm: Optional[floa
     inside the optimizer state without recompilation.
     """
     table = {"adam": optax.adam, "sgd": optax.sgd, "rmsprop": optax.rmsprop}
-    if name not in table:
+    if name == "momentum-sgd":
+        # Reference deep-clustering recipe optimizer (train.sh: momentum=9e-1).
+        opt = optax.inject_hyperparams(optax.sgd)(learning_rate=lr, momentum=momentum)
+    elif name not in table:
         raise ValueError(f"Unsupported optimizer: {name}")
-    opt = optax.inject_hyperparams(table[name])(learning_rate=lr)
+    else:
+        opt = optax.inject_hyperparams(table[name])(learning_rate=lr)
     if max_norm is not None:
         opt = optax.chain(optax.clip_by_global_norm(max_norm), opt)
     return opt

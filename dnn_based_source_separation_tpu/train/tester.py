@@ -222,3 +222,56 @@ class Evaluater:
         for name in self.sources:
             table[name]["value"] = table[name]["SDR"]
         return table
+
+
+class AttractorTester(Tester):
+    """Spectrogram-domain tester (DANet / ADANet / deep clustering).
+
+    Capability parity: reference AttractorTester / TesterBase for the
+    embedding family (`egs/wsj0-mix/common/src/driver.py:600-701`): STFT the
+    mixture, run the clustering inference path (no oracle assignment),
+    resynthesize each source with the mixture phase, then report the same
+    per-utterance metric CSV as the time-domain Tester.
+
+    `kind`: 'danet' (attractors from clustering inside the model), 'adanet'
+    (anchored attractors), or 'embedding' (DeepEmbedding + external KMeans).
+    """
+
+    def __init__(self, model, params, dataset, pit_criterion, n_fft: int,
+                 hop_length: Optional[int] = None, window_fn: str = "hann",
+                 kind: str = "danet", n_sources: int = 2,
+                 iter_clustering: int = 10, **kwargs):
+        super().__init__(model, params, dataset, pit_criterion, **kwargs)
+        hop_length = hop_length or n_fft // 4
+        if window_fn == "hann":
+            k = jnp.arange(n_fft)
+            window = 0.5 - 0.5 * jnp.cos(2 * jnp.pi * k / n_fft)
+        else:
+            window = jnp.ones((n_fft,), jnp.float32)
+
+        from ..algorithm.clustering import KMeans
+        from ..ops.stft import istft, stft
+
+        def forward(params_, mixture):  # (1, 1, T)
+            T = mixture.shape[-1]
+            spec = stft(mixture, n_fft, hop_length, window=window)  # (1, 1, F, S)
+            amp = jnp.abs(spec)
+            phase = jnp.angle(spec)
+            if kind == "danet":
+                est_amp = model.apply(params_, amp, None, None, n_sources)
+            elif kind == "adanet":
+                est_amp = model.apply(params_, amp, None, n_sources)
+            elif kind == "embedding":
+                emb = model.apply(params_, amp)  # (B, F, S, D)
+                B, F, S, D = emb.shape
+                flat = emb.reshape(B, F * S, D)
+                assign, _ = KMeans(n_sources, n_iterations=iter_clustering)(flat)
+                mask = jax.nn.one_hot(assign, n_sources, dtype=amp.dtype)
+                mask = jnp.transpose(mask.reshape(B, F, S, n_sources), (0, 3, 1, 2))
+                est_amp = mask * amp
+            else:
+                raise ValueError(f"Unsupported kind: {kind}")
+            est_spec = est_amp * jnp.exp(1j * phase)
+            return istft(est_spec, n_fft, hop_length, window=window, length=T)
+
+        self._forward = jax.jit(forward)

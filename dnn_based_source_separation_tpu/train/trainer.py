@@ -270,3 +270,73 @@ class Trainer:
         ax.legend()
         fig.savefig(os.path.join(self.loss_dir, "loss.png"), bbox_inches="tight")
         plt.close(fig)
+
+
+class ORPITTrainer(Trainer):
+    """One-and-Rest PIT driver over variable source counts.
+
+    Capability parity: the reference ORPIT recipe driver
+    (`egs/wsj0-mix/orpit_conv-tasnet/local/train.py` + driver.py
+    AdhocTrainer): batches are (mixture, zero-padded sources, counts) from
+    `WaveTrainVariableSourcesDataset`; the model always estimates the
+    (one, rest) pair and the ORPIT criterion consumes the per-item counts.
+    """
+
+    def __init__(self, model, train_loader, valid_loader, criterion, optimizer,
+                 config, mesh=None, init_params=None):
+        import jax
+        import optax
+
+        if init_params is None and not config.continue_from:
+            mixture, _, _ = next(iter(train_loader))
+            init_params = model.init(jax.random.PRNGKey(0), jnp.asarray(mixture[:1]))
+        super().__init__(model, train_loader, valid_loader, criterion, optimizer,
+                         config, mesh=mesh, init_params=init_params)
+
+        def train_step(variables, opt_state, mixture, sources, counts):
+            params = variables["params"]
+            aux = {k: v for k, v in variables.items() if k != "params"}
+
+            def loss_fn(p):
+                est = model.apply({"params": p, **aux}, mixture)
+                out = criterion(est, sources, n_sources=counts)
+                return out[0] if isinstance(out, tuple) else out
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return {"params": params, **aux}, opt_state, loss
+
+        self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
+
+        def eval_step(variables, mixture, sources, counts):
+            est = model.apply(variables, mixture)
+            out = criterion(est, sources, n_sources=counts)
+            loss = out[0] if isinstance(out, tuple) else out
+            return loss, est
+
+        self.eval_step = jax.jit(eval_step)
+
+    def run_one_epoch_train(self, epoch: int) -> float:
+        device_losses = []
+        n_batches = 0
+        for batch in self.train_loader:
+            batch = tuple(jnp.asarray(b) for b in batch)
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                batch = shard_batch(self.mesh, batch)
+            self.params, self.opt_state, loss = self.train_step(
+                self.params, self.opt_state, *batch)
+            device_losses.append(loss)
+            n_batches += 1
+        return float(sum(float(l) for l in device_losses)) / max(n_batches, 1)
+
+    def run_one_epoch_eval(self, epoch: int) -> float:
+        total, n_batches = 0.0, 0
+        for batch in self.valid_loader:
+            mixture, sources, counts = (jnp.asarray(b) for b in batch)
+            loss, _ = self.eval_step(self.params, mixture, sources, counts)
+            total += float(loss)
+            n_batches += 1
+        return total / max(n_batches, 1)

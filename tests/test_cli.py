@@ -224,3 +224,59 @@ final:
         "--batch_size", "2", "--epochs", "1", "--exp_dir", exp,
     ])
     assert np.isfinite(trainer.train_loss[0])
+
+
+@pytest.mark.parametrize("model,criterion,optimizer", [
+    ("danet", "se", "rmsprop"),
+    ("adanet", "l2loss", "adam"),
+    ("deep-clustering", "affinity", "momentum-sgd"),
+])
+def test_train_wsj0mix_spec_cli(wsj0_corpus, tmp_path, model, criterion, optimizer):
+    from dnn_based_source_separation_tpu.cli import train_wsj0mix_spec
+
+    exp = str(tmp_path / f"exp_{model}")
+    trainer = train_wsj0mix_spec.main([
+        "--train_wav_root", str(wsj0_corpus / "tr"),
+        "--train_list_path", str(wsj0_corpus / "tr.lst"),
+        "--valid_wav_root", str(wsj0_corpus / "cv"),
+        "--valid_list_path", str(wsj0_corpus / "cv.lst"),
+        "--model", model, "--criterion", criterion, "--optimizer", optimizer,
+        "--n_fft", "64", "--hop_length", "16",
+        "-K", "8", "-H", "16", "-B", "1", "-N", "4",
+        "--duration", "0.25", "--dropout", "0.2" if model == "adanet" else "0",
+        "--batch_size", "2", "--epochs", "1", "--exp_dir", exp,
+    ])
+    assert os.path.exists(os.path.join(exp, "model", "last.ckpt"))
+    assert np.isfinite(trainer.train_loss[-1])
+
+    from dnn_based_source_separation_tpu.cli import test_wsj0mix
+
+    kind = {"danet": "danet", "adanet": "adanet", "deep-clustering": "embedding"}[model]
+    summary = test_wsj0mix.main([
+        "--test_wav_root", str(wsj0_corpus / "tt"),
+        "--test_list_path", str(wsj0_corpus / "tt.lst"),
+        "--model_path", os.path.join(exp, "model", "last.ckpt"),
+        "--spec_kind", kind, "--n_fft", "64", "--hop_length", "16",
+        "--filt_len", "16",
+    ])
+    assert np.isfinite(summary["loss"])
+
+
+def test_train_wsj0mix_orpit_cli(wsj0_corpus, tmp_path):
+    from dnn_based_source_separation_tpu.cli import train_wsj0mix
+
+    exp = str(tmp_path / "exp_orpit")
+    trainer = train_wsj0mix.main([
+        "--train_wav_root", str(wsj0_corpus / "tr"),
+        "--train_list_path", str(wsj0_corpus / "tr.lst"),
+        "--valid_wav_root", str(wsj0_corpus / "cv"),
+        "--valid_list_path", str(wsj0_corpus / "cv.lst"),
+        "--model", "conv-tasnet", "--criterion", "orpit",
+        "--n_sources", "3",
+        "-N", "16", "-L", "8", "-H", "16", "-B", "8", "-Sc", "8",
+        "-R", "1", "-X", "2",
+        "--duration", "0.25", "--valid_duration", "0.25",
+        "--batch_size", "2", "--epochs", "1", "--exp_dir", exp,
+    ])
+    assert os.path.exists(os.path.join(exp, "model", "last.ckpt"))
+    assert np.isfinite(trainer.train_loss[-1])

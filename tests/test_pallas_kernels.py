@@ -43,3 +43,58 @@ def test_fused_mask_decode_matches_reference():
     out = fused_mask_decode(w, mask, kernel, tile_t=32)
     expected = jnp.einsum("btn,bstn,nl->bstl", w, mask, kernel)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-4)
+
+
+# -- fused LSTM -------------------------------------------------------------
+
+def _lstm_scan_reference(xw, w_hh):
+    import jax
+
+    B, _, four_h = xw.shape
+    H = four_h // 4
+    xw_t = jnp.swapaxes(xw, 0, 1)
+
+    def step(carry, xt):
+        h, c = carry
+        gates = xt + jnp.dot(h, w_hh)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    init = (jnp.zeros((B, H), xw.dtype), jnp.zeros((B, H), xw.dtype))
+    _, hs = jax.lax.scan(step, init, xw_t)
+    return jnp.swapaxes(hs, 0, 1)
+
+
+def test_pallas_lstm_forward_matches_scan():
+    from dnn_based_source_separation_tpu.ops.pallas_lstm import lstm_scan
+
+    rng = np.random.default_rng(2)
+    B, T, H = 3, 23, 16  # T not a multiple of the time chunk
+    xw = jnp.asarray(rng.standard_normal((B, T, 4 * H)), jnp.float32)
+    w_hh = jnp.asarray(rng.standard_normal((H, 4 * H)) * 0.3, jnp.float32)
+    out = lstm_scan(xw, w_hh, True)
+    ref = _lstm_scan_reference(xw, w_hh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_lstm_grads_match_scan():
+    import jax
+    from dnn_based_source_separation_tpu.ops.pallas_lstm import lstm_scan
+
+    rng = np.random.default_rng(3)
+    B, T, H = 2, 17, 8
+    xw = jnp.asarray(rng.standard_normal((B, T, 4 * H)), jnp.float32)
+    w_hh = jnp.asarray(rng.standard_normal((H, 4 * H)) * 0.3, jnp.float32)
+
+    def loss_fused(xw, w):
+        return jnp.sum(lstm_scan(xw, w, True) ** 2)
+
+    def loss_ref(xw, w):
+        return jnp.sum(_lstm_scan_reference(xw, w) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1))(xw, w_hh)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(xw, w_hh)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)

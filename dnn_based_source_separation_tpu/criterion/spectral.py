@@ -36,3 +36,19 @@ class SpectralTargetAdapter:
         if not self.complex_target:
             tgt = jnp.abs(tgt)
         return self.base(estimates, tgt, batch_mean=batch_mean)
+
+
+@dataclasses.dataclass(frozen=True)
+class MonoTargetAdapter:
+    """Downmix (B, n_src, C, T) waveform targets to mono before the base
+    criterion (Meta-TasNet recipe: the reference cascade is mono)."""
+
+    base: object
+
+    @property
+    def maximize(self):
+        return bool(getattr(self.base, "maximize", False))
+
+    def __call__(self, estimates, target_waves, batch_mean: bool = True):
+        tgt = jnp.mean(target_waves, axis=2)
+        return self.base(estimates, tgt, batch_mean=batch_mean)

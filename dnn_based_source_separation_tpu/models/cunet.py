@@ -169,7 +169,10 @@ class ConditionedUNet2d(nn.Module, SeparationModelMixin):
             )(x, skip=None if i == 0 else rev[i], train=train)
 
         dh, dw = x.shape[1] - H_in, x.shape[2] - W_in
-        x = x[:, dh // 2 : x.shape[1] - (dh - dh // 2), dw // 2 : x.shape[2] - (dw - dw // 2)]
+        ch, cw = max(0, dh), max(0, dw)
+        x = x[:, ch // 2 : x.shape[1] - (ch - ch // 2), cw // 2 : x.shape[2] - (cw - cw // 2)]
+        ph2, pw2 = max(0, -dh), max(0, -dw)
+        x = jnp.pad(x, ((0, 0), (ph2 // 2, ph2 - ph2 // 2), (pw2 // 2, pw2 - pw2 // 2), (0, 0)))
         x = jnp.transpose(x, (0, 3, 1, 2))
         if self.masking:
             x = x * input

@@ -318,6 +318,7 @@ class ParallelMMDenseLSTM(nn.Module, SeparationModelMixin):
     depth_final: Any = None
     causal: bool = False
     rnn_position: str = "parallel"
+    rnn_type: str = "lstm"
     sources: Sequence[str] = ("bass", "drums", "other", "vocals")
     eps: float = EPS
 
@@ -337,6 +338,7 @@ class ParallelMMDenseLSTM(nn.Module, SeparationModelMixin):
                 dilated_final=self.dilated_final, norm_final=self.norm_final,
                 nonlinear_final=self.nonlinear_final, depth_final=self.depth_final,
                 causal=self.causal, rnn_position=self.rnn_position,
+                rnn_type=self.rnn_type,
                 eps=self.eps, name=f"net_{source}",
             )(x, train=train)
             outs.append(y)

@@ -49,7 +49,13 @@ class LatentMaskingMixin:
             x_hat = self.encoder.pinv_decode(w_hat)
         else:
             x_hat = self.decoder(w_hat)
-        x_hat = x_hat[..., 0]  # (B, n_src, T_pad)
+        if x_hat.shape[-1] == 1:
+            x_hat = x_hat[..., 0]  # (B, n_src, T_pad)
+        else:
+            # Multichannel decode (e.g. musdb18 stereo, reference
+            # egs/musdb18/conv-tasnet/local/train.py:103 in_channels=2):
+            # (B, n_src, T_pad, C) -> (B, n_src, C, T_pad).
+            x_hat = jnp.moveaxis(x_hat, -1, 2)
         end = x_hat.shape[-1] - pr
         output = x_hat[..., pl:end]
         return output, latent

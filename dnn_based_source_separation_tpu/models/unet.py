@@ -76,8 +76,15 @@ class DecoderBlock2d(nn.Module):
         dh, dw = _pair(self.dilation)
         ekh, ekw = (kh - 1) * dh + 1, (kw - 1) * dw + 1
         if skip is not None:
+            # Match x to the skip size: upsampled maps can be larger OR
+            # smaller than the skip (ceil-padded encoders), so crop the
+            # excess and pad the deficit.
             dhh, dww = skip.shape[1] - x.shape[1], skip.shape[2] - x.shape[2]
-            x = jnp.pad(x, ((0, 0), (dhh // 2, dhh - dhh // 2), (dww // 2, dww - dww // 2), (0, 0)))
+            ch, cw = max(0, -dhh), max(0, -dww)
+            x = x[:, ch // 2 : x.shape[1] - (ch - ch // 2),
+                  cw // 2 : x.shape[2] - (cw - cw // 2)]
+            ph2, pw2 = max(0, dhh), max(0, dww)
+            x = jnp.pad(x, ((0, 0), (ph2 // 2, ph2 - ph2 // 2), (pw2 // 2, pw2 - pw2 // 2), (0, 0)))
             x = jnp.concatenate([x, skip], axis=-1)
         x = nn.ConvTranspose(self.out_channels, (kh, kw), strides=(sh, sw),
                              kernel_dilation=(dh, dw), padding="VALID", name="deconv2d")(x)

@@ -1,0 +1,11 @@
+#!/bin/bash
+# MUSDB18 / Conv-TasNet evaluation recipe (TPU): museval-v4 medians.
+musdb18_root="${musdb18_root:-../../../dataset/MUSDB18}"
+exp_dir="${exp_dir:-./exp}"
+model_choice="${model_choice:-best}"
+
+python -m dnn_based_source_separation_tpu.cli.test_musdb18 \
+    --musdb18_root "$musdb18_root" \
+    --model_path "$exp_dir/model/$model_choice.ckpt" \
+    --out_dir "$exp_dir/test" \
+    "$@" | tee -a "$exp_dir/test.log"

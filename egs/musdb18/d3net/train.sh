@@ -1,0 +1,13 @@
+#!/bin/bash
+# MUSDB18 / D3Net training recipe (TPU): per-stem band-structured D3Net,
+# magnitude MSE. Mirrors reference egs/musdb18/d3net/train.sh.
+musdb18_root="${musdb18_root:-../../../dataset/MUSDB18}"
+exp_dir="${exp_dir:-./exp}"
+config="${config:-./config/vocals.yaml}"
+
+python -m dnn_based_source_separation_tpu.cli.train_musdb18 \
+    --musdb18_root "$musdb18_root" --exp_dir "$exp_dir" \
+    --model d3net --d3net_config "$config" \
+    --n_fft 4096 --hop_length 1024 \
+    --batch_size 6 --lr 1e-3 \
+    "$@" | tee -a "$exp_dir/train.log"

@@ -280,3 +280,84 @@ def test_train_wsj0mix_orpit_cli(wsj0_corpus, tmp_path):
     ])
     assert os.path.exists(os.path.join(exp, "model", "last.ckpt"))
     assert np.isfinite(trainer.train_loss[-1])
+
+
+@pytest.mark.parametrize("model,extra", [
+    ("conv-tasnet", ["-N", "16", "-L", "8", "-HH", "16", "-B", "8", "-Sc", "8",
+                     "-R", "1", "-X", "2"]),
+    ("mrx", ["--hidden_channels", "8", "--num_layers", "1",
+             "--mrx_n_fft", "64,128", "--hop_length", "32"]),
+    ("meta-tasnet", ["-N", "16", "-L", "8", "-HH", "8", "-B", "8", "-Sc", "8",
+                     "-R", "1", "-X", "1"]),
+    ("hrnet", ["--target", "vocals", "--hrnet_hidden", "4,8",
+               "--n_fft", "64", "--hop_length", "32"]),
+    ("cunet", ["--cunet_channels", "2,4,8", "--cunet_control_channels", "3,8",
+               "--n_fft", "64", "--hop_length", "32"]),
+])
+def test_train_musdb18_more_models(musdb_corpus, tmp_path, model, extra):
+    from dnn_based_source_separation_tpu.cli import train_musdb18
+
+    root, sr = musdb_corpus
+    exp = str(tmp_path / f"exp_{model}")
+    trainer = train_musdb18.main([
+        "--musdb18_root", str(root), "--sample_rate", str(sr),
+        "--duration", "0.25", "--valid_duration", "0.25",
+        "--samples_per_epoch", "2", "--model", model,
+        "--batch_size", "2", "--epochs", "1", "--exp_dir", exp,
+    ] + extra)
+    assert os.path.exists(os.path.join(exp, "model", "last.ckpt"))
+    assert np.isfinite(trainer.train_loss[0])
+
+
+def test_train_musdb18_mmdense(musdb_corpus, tmp_path):
+    from dnn_based_source_separation_tpu.cli import train_musdb18
+
+    root, sr = musdb_corpus
+    cfg = tmp_path / "mmdl.yaml"
+    cfg.write_text("""
+in_channels: 2
+bands: [low, high]
+causal: False
+rnn_type: lstm
+rnn_position: after_dense
+low:
+  sections: 16
+  num_features: 4
+  growth_rate: [2, 2, 2]
+  hidden_channels: [0, 2, 0]
+  kernel_size: 3
+  scale: 2
+  depth: [1, 1, 1]
+high:
+  sections: 17
+  num_features: 4
+  growth_rate: [2, 2, 2]
+  hidden_channels: [0, 0, 0]
+  kernel_size: 3
+  scale: 2
+  depth: [1, 1, 1]
+full:
+  num_features: 4
+  growth_rate: [2, 2, 2]
+  hidden_channels: [0, 2, 0]
+  kernel_size: 3
+  scale: 2
+  depth: [1, 1, 1]
+final:
+  growth_rate: 2
+  hidden_channels: 0
+  kernel_size: 3
+  depth: 1
+""")
+    for model in ("mm-densenet", "mm-dense-lstm"):
+        exp = str(tmp_path / f"exp_{model}")
+        trainer = train_musdb18.main([
+            "--musdb18_root", str(root), "--sample_rate", str(sr),
+            "--duration", "0.25", "--valid_duration", "0.25",
+            "--samples_per_epoch", "2", "--model", model,
+            "--mmdense_config", str(cfg),
+            "--n_fft", "64", "--hop_length", "32",
+            "--batch_size", "2", "--epochs", "1", "--exp_dir", exp,
+        ])
+        assert os.path.exists(os.path.join(exp, "model", "last.ckpt"))
+        assert np.isfinite(trainer.train_loss[0])

@@ -59,11 +59,26 @@ def main():
 
     per_batch = float(np.median(times)) / ITERS
     rtf = BATCH * SECONDS / per_batch
+
+    # MFU: analytic FLOPs of one forward (XLA cost model) over chip peak.
+    peak = {
+        "TPU v4": 275e12, "TPU v5 lite": 197e12, "TPU v5": 459e12,
+        "TPU v5p": 459e12, "TPU v6 lite": 918e12,
+    }.get(jax.devices()[0].device_kind, 197e12)
+    mfu = float("nan")
+    try:
+        one = jax.jit(model.apply).lower(params, xs[0]).compile()
+        flops = float(one.cost_analysis()["flops"])
+        mfu = flops / per_batch / peak
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "conv_tasnet_wsj0mix_inference_rtf",
         "value": round(rtf, 2),
         "unit": "audio_seconds_per_second_per_chip",
         "vs_baseline": round(rtf / 10.0, 3),
+        "mfu": round(mfu, 4),
     }))
 
 

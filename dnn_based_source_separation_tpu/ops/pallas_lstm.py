@@ -153,8 +153,7 @@ def _lstm_fwd(xw, w_hh, interpret):
     return hs, (xw, w_hh, hs, cs)
 
 
-def _lstm_bwd(interpret, res, g_hs):
-    xw, w_hh, hs, cs = res
+def _lstm_bwd_core(xw, w_hh, hs, cs, g_hs):
     B, T, H = hs.shape
     f32 = jnp.float32
 
@@ -202,4 +201,119 @@ def _lstm_bwd(interpret, res, g_hs):
     return d_xw, d_whh
 
 
+def _lstm_bwd(interpret, res, g_hs):
+    xw, w_hh, hs, cs = res
+    return _lstm_bwd_core(xw, w_hh, hs, cs, g_hs)
+
+
 lstm_scan.defvjp(_lstm_fwd, _lstm_bwd)
+
+
+# -- fused bidirectional recurrence ------------------------------------------
+#
+# Measured on v5e (B=1028, T=250, H=128, bf16): one direction costs ~3.4 ms
+# and the cost is per-SEQUENTIAL-STEP machinery, not compute or DMA (a
+# copy-only kernel body costs the same 3.4 ms; manual double-buffered DMA
+# from HBM is no faster). Two independent XLA scans cost ~4.5 ms jointly.
+# Fusing both directions into ONE stepper amortizes the per-step cost across
+# two chains: ~3.6 ms for the pair (1.25x over XLA, ~1.9x over sequential
+# scans). The forward chain and the (pre-flipped) backward chain advance in
+# lockstep; their matmuls and pointwise stages are independent, so Mosaic
+# overlaps one chain's VPU work with the other's MXU step.
+
+def _bidir_kernel(xw0_ref, xw1_ref, w0_ref, w1_ref,
+                  hs0_ref, hs1_ref, cs0_ref, cs1_ref,
+                  h0_ref, c0_ref, h1_ref, c1_ref, *, chunk: int, hidden: int):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for r in (h0_ref, c0_ref, h1_ref, c1_ref):
+            r[:] = jnp.zeros_like(r)
+
+    H = hidden
+
+    def step(i, _):
+        g0 = jnp.dot(h0_ref[:].astype(w0_ref.dtype), w0_ref[:],
+                     preferred_element_type=jnp.float32)
+        g1 = jnp.dot(h1_ref[:].astype(w1_ref.dtype), w1_ref[:],
+                     preferred_element_type=jnp.float32)
+        for g, xr, hr, cr, hs, cs in (
+            (g0, xw0_ref, h0_ref, c0_ref, hs0_ref, cs0_ref),
+            (g1, xw1_ref, h1_ref, c1_ref, hs1_ref, cs1_ref),
+        ):
+            gates = g + xr[i].astype(jnp.float32)
+            gi = jax.nn.sigmoid(gates[:, :H])
+            gf = jax.nn.sigmoid(gates[:, H:2 * H])
+            gg = jnp.tanh(gates[:, 2 * H:3 * H])
+            go = jax.nn.sigmoid(gates[:, 3 * H:])
+            c = gf * cr[:] + gi * gg
+            h = go * jnp.tanh(c)
+            hr[:] = h
+            cr[:] = c
+            hs[i] = h.astype(hs.dtype)
+            cs[i] = c.astype(cs.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, chunk, step, 0, unroll=False)
+
+
+def _bidir_pallas_raw(xw_f, xw_b, whh_f, whh_b, interpret):
+    """xw_* (B, T, 4H) input gates (xw_b already time-reversed).
+    Returns (hs_f, hs_b, cs_f, cs_b), each (B, T, H)."""
+    B, T, four_h = xw_f.shape
+    H = four_h // 4
+    dtype = xw_f.dtype
+
+    item = jnp.dtype(dtype).itemsize
+    per_step = 2 * B * four_h * item + 4 * B * H * item
+    chunk = min(T, max(1, (5 << 20) // per_step))
+    T_pad = -(-T // chunk) * chunk
+
+    def prep(xw):
+        x = jnp.swapaxes(xw, 0, 1)
+        if T_pad != T:
+            x = jnp.pad(x, ((0, T_pad - T), (0, 0), (0, 0)))
+        return x
+
+    inspec = pl.BlockSpec((chunk, B, four_h), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((H, four_h), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((chunk, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((T_pad, B, H), dtype)
+    kernel = functools.partial(_bidir_kernel, chunk=chunk, hidden=H)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(T_pad // chunk,),
+        in_specs=[inspec, inspec, wspec, wspec],
+        out_specs=(ospec,) * 4,
+        out_shape=(oshape,) * 4,
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)] * 4,
+        interpret=interpret,
+    )(prep(xw_f), prep(xw_b), whh_f, whh_b)
+    return tuple(jnp.swapaxes(o[:T], 0, 1) for o in outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def lstm_scan_bidir(xw_f, xw_b, whh_f, whh_b, interpret: bool = False):
+    """Fused bidirectional LSTM recurrence.
+
+    xw_f: (B, T, 4H) forward input gates; xw_b: backward input gates over the
+    TIME-REVERSED sequence. Returns (hs_f, hs_b) where hs_b is in reversed
+    time order (flip it back outside, exactly like the two-scan path).
+    """
+    hs_f, hs_b, _, _ = _bidir_pallas_raw(xw_f, xw_b, whh_f, whh_b, interpret)
+    return hs_f, hs_b
+
+
+def _bidir_fwd(xw_f, xw_b, whh_f, whh_b, interpret):
+    hs_f, hs_b, cs_f, cs_b = _bidir_pallas_raw(xw_f, xw_b, whh_f, whh_b, interpret)
+    return (hs_f, hs_b), (xw_f, xw_b, whh_f, whh_b, hs_f, hs_b, cs_f, cs_b)
+
+
+def _bidir_bwd(interpret, res, grads):
+    xw_f, xw_b, whh_f, whh_b, hs_f, hs_b, cs_f, cs_b = res
+    g_f, g_b = grads
+    d_xw_f, d_whh_f = _lstm_bwd_core(xw_f, whh_f, hs_f, cs_f, g_f)
+    d_xw_b, d_whh_b = _lstm_bwd_core(xw_b, whh_b, hs_b, cs_b, g_b)
+    return d_xw_f, d_xw_b, d_whh_f, d_whh_b
+
+
+lstm_scan_bidir.defvjp(_bidir_fwd, _bidir_bwd)

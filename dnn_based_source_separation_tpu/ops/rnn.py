@@ -97,20 +97,36 @@ class LSTM(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from .pallas_lstm import lstm_scan_bidir, pallas_lstm_enabled
+
         H = self.hidden_size
+        fuse_bidir = self.bidirectional and pallas_lstm_enabled()
         for layer in range(self.num_layers):
-            outs = []
+            F = x.shape[-1]
+            params = []
             for direction in range(2 if self.bidirectional else 1):
                 sfx = f"_l{layer}" + ("_reverse" if direction else "")
-                F = x.shape[-1]
                 w_ih = self.param(f"w_ih{sfx}", nn.initializers.lecun_normal(), (F, 4 * H))
                 w_hh = self.param(f"w_hh{sfx}", nn.initializers.orthogonal(), (H, 4 * H))
                 b = self.param(f"b{sfx}", nn.initializers.zeros, (4 * H,))
-                xin = jnp.flip(x, axis=1) if direction else x
-                xw = jnp.dot(xin, w_ih, preferred_element_type=None) + b
-                hs = _lstm_scan(xw, w_hh, H)
-                outs.append(jnp.flip(hs, axis=1) if direction else hs)
-            x = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+                params.append((w_ih, w_hh, b))
+            if fuse_bidir:
+                # Both directional recurrences advance in ONE fused Pallas
+                # stepper; per-step cost is shared across the two chains.
+                (wif, whf, bf), (wib, whb, bb) = params
+                xw_f = jnp.dot(x, wif, preferred_element_type=None) + bf
+                xw_b = jnp.dot(jnp.flip(x, axis=1), wib, preferred_element_type=None) + bb
+                hs_f, hs_b = lstm_scan_bidir(
+                    xw_f, xw_b, whf, whb, not jax.default_backend() == "tpu")
+                x = jnp.concatenate([hs_f, jnp.flip(hs_b, axis=1)], axis=-1)
+            else:
+                outs = []
+                for direction, (w_ih, w_hh, b) in enumerate(params):
+                    xin = jnp.flip(x, axis=1) if direction else x
+                    xw = jnp.dot(xin, w_ih, preferred_element_type=None) + b
+                    hs = _lstm_scan(xw, w_hh, H)
+                    outs.append(jnp.flip(hs, axis=1) if direction else hs)
+                x = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
             if self.dropout > 0.0 and layer < self.num_layers - 1:
                 x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
         return x

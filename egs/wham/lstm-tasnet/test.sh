@@ -1,0 +1,12 @@
+#!/bin/bash
+# WHAM! / LSTM-TasNet evaluation recipe (TPU).
+wav_root_test="${wav_root_test:-../../../dataset/wham/wav8k/min/tt}"
+list_test="${list_test:-../../../dataset/wham/wav8k/min/tt.lst}"
+exp_dir="${exp_dir:-./exp}"
+model_choice="${model_choice:-best}"
+
+python -m dnn_based_source_separation_tpu.cli.test_wsj0mix \
+    --test_wav_root "$wav_root_test" --test_list_path "$list_test" \
+    --model_path "$exp_dir/model/$model_choice.ckpt" \
+    --out_dir "$exp_dir/test" \
+    "$@" | tee -a "$exp_dir/test.log"

@@ -98,3 +98,65 @@ def test_native_wav_loader_matches_scipy(tmp_path):
     seg3 = native_loader.read_segment(p2, 0, 100, multichannel=True)
     expected2, _ = read_wav(p2, 0, 100)
     np.testing.assert_allclose(seg3, expected2.T, atol=1e-6)
+
+
+class TestPesqCalibration:
+    """Calibration evidence for the in-tree P.862-style tool.
+
+    No certified ITU binary or pip `pesq` wheel is reachable (zero egress),
+    so calibration is property-based against published P.862/P.862.1
+    behavior plus pinned regression goldens (documented in
+    native/pesq/CALIBRATION.md):
+      * identical signals map to the P.862.1 MOS-LQO ceiling 4.549;
+      * MOS is monotonically decreasing in additive-noise level;
+      * scores are invariant to overall gain (level alignment) and to small
+        delays (time alignment).
+    """
+
+    @staticmethod
+    def _tool():
+        import os
+        path = os.path.join(os.path.dirname(__file__), "..", "native", "pesq", "pesq")
+        if not os.path.exists(path):
+            import subprocess
+            subprocess.run(["make", "-s"], cwd=os.path.dirname(path), check=True)
+        return path
+
+    @staticmethod
+    def _clean(n=16000, sr=8000):
+        t = np.arange(n) / sr
+        return (0.3 * np.sin(2 * np.pi * 220 * t)
+                + 0.2 * np.sin(2 * np.pi * 440 * t)
+                + 0.1 * np.sin(2 * np.pi * 880 * t)) * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))
+
+    def _mos(self, tmp_path, ref, deg):
+        import subprocess
+        from dnn_based_source_separation_tpu.data.audio_io import write_wav
+
+        rp, dp = str(tmp_path / "ref.wav"), str(tmp_path / "deg.wav")
+        write_wav(rp, ref, 8000)
+        write_wav(dp, deg, 8000)
+        out = subprocess.run([self._tool(), "+8000", rp, dp],
+                             capture_output=True, text=True, check=True)
+        return float(out.stdout.strip().rsplit("\t", 1)[-1])
+
+    def test_identity_hits_p862_ceiling(self, tmp_path):
+        clean = self._clean()
+        assert abs(self._mos(tmp_path, clean, clean) - 4.549) < 1e-3
+
+    def test_monotone_in_snr(self, tmp_path):
+        rng = np.random.default_rng(0)
+        clean = self._clean()
+        scores = []
+        for snr in (40, 30, 20, 10, 0):
+            noise = rng.standard_normal(len(clean))
+            noise *= np.sqrt((clean ** 2).mean() / 10 ** (snr / 10) / (noise ** 2).mean())
+            scores.append(self._mos(tmp_path, clean, clean + noise))
+        assert all(a > b for a, b in zip(scores, scores[1:])), scores
+        assert scores[0] > 4.0 and scores[-1] < 1.5  # pinned goldens +-drift
+
+    def test_gain_and_shift_invariance(self, tmp_path):
+        clean = self._clean()
+        base = self._mos(tmp_path, clean, clean)
+        assert abs(self._mos(tmp_path, clean, 0.5 * clean) - base) < 0.05
+        assert abs(self._mos(tmp_path, clean, np.roll(clean, 80)) - base) < 0.05

@@ -98,3 +98,57 @@ def test_pallas_lstm_grads_match_scan():
     g_ref = jax.grad(loss_ref, argnums=(0, 1))(xw, w_hh)
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_lstm_bidir_matches_two_scans():
+    import jax
+    from dnn_based_source_separation_tpu.ops.pallas_lstm import lstm_scan_bidir
+
+    rng = np.random.default_rng(4)
+    B, T, H = 2, 19, 8
+    xw_f = jnp.asarray(rng.standard_normal((B, T, 4 * H)), jnp.float32)
+    xw_b = jnp.asarray(rng.standard_normal((B, T, 4 * H)), jnp.float32)
+    w_f = jnp.asarray(rng.standard_normal((H, 4 * H)) * 0.3, jnp.float32)
+    w_b = jnp.asarray(rng.standard_normal((H, 4 * H)) * 0.3, jnp.float32)
+
+    hs_f, hs_b = lstm_scan_bidir(xw_f, xw_b, w_f, w_b, True)
+    np.testing.assert_allclose(
+        np.asarray(hs_f), np.asarray(_lstm_scan_reference(xw_f, w_f)), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(hs_b), np.asarray(_lstm_scan_reference(xw_b, w_b)), atol=1e-5)
+
+    def loss_fused(args):
+        h0, h1 = lstm_scan_bidir(*args, True)
+        return jnp.sum(h0 ** 2) + jnp.sum(jnp.abs(h1))
+
+    def loss_ref(args):
+        xwf, xwb, wf, wb = args
+        return (jnp.sum(_lstm_scan_reference(xwf, wf) ** 2)
+                + jnp.sum(jnp.abs(_lstm_scan_reference(xwb, wb))))
+
+    g1 = jax.grad(loss_fused)((xw_f, xw_b, w_f, w_b))
+    g2 = jax.grad(loss_ref)((xw_f, xw_b, w_f, w_b))
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_lstm_module_fused_bidir_matches_scan_path():
+    """LSTM flax module: pallas fused-bidir path == lax.scan path."""
+    import os
+
+    import jax
+    from dnn_based_source_separation_tpu.ops.rnn import LSTM
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((3, 11, 6)), jnp.float32)
+    model = LSTM(hidden_size=5, num_layers=2, bidirectional=True)
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    os.environ["DNNTPU_PALLAS_LSTM"] = "1"
+    try:
+        out_fused = model.apply(params, x)
+    finally:
+        os.environ["DNNTPU_PALLAS_LSTM"] = "0"
+    out_scan = model.apply(params, x)
+    del os.environ["DNNTPU_PALLAS_LSTM"]
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_scan), atol=1e-5)

@@ -26,5 +26,12 @@ from .deep_clustering import AffinityLoss
 from .distance import L1Loss, L2Loss, MSELoss, MAELoss, CosineSimilarityLoss
 from .divergence import kl_divergence, is_divergence, generalized_kl_divergence, beta_divergence
 from .entropy import BinaryCrossEntropy, CategoricalCrossEntropy, DiceLoss
-from .metric_learn import TripletLoss, ContrastiveLoss, arcface_logits
+from .metric_learn import (
+    AdditiveAngularMarginLoss,
+    ContrastiveLoss,
+    ContrastiveWithDistanceLoss,
+    TripletLoss,
+    TripletWithDistanceLoss,
+    arcface_logits,
+)
 from .stubs import MixITLoss, HungarianLoss, ProbPIT

@@ -489,3 +489,20 @@ def test_checkpoint_dispatch_new_families(reference_src, tmp_path):
         expected = ref(x).numpy()
     ours = model.apply(_to_jax(variables), jnp.asarray(x.numpy()))
     assert _max_err(ours, expected) < ATOL
+
+
+def test_additive_angular_margin_loss_matches_reference(reference_src):
+    from criterion.metric_learn import AdditiveAngularMarginLoss as TorchAAM
+
+    from dnn_based_source_separation_tpu.criterion import AdditiveAngularMarginLoss
+
+    rng = np.random.default_rng(0)
+    cos = np.clip(rng.uniform(-0.99, 0.99, (6, 5)).astype(np.float32), -0.99, 0.99)
+    target = rng.integers(0, 5, (6,))
+
+    for easy in (False, True):
+        t_loss = TorchAAM(scale=30.0, margin=0.5, easy_margin=easy)(
+            torch.from_numpy(cos), torch.from_numpy(target).long())
+        j_loss = AdditiveAngularMarginLoss(scale=30.0, margin=0.5, easy_margin=easy)(
+            jnp.asarray(cos), jnp.asarray(target))
+        np.testing.assert_allclose(float(j_loss), float(t_loss), rtol=1e-4)

@@ -35,6 +35,23 @@ def amortized_ms(apply_fn, params, xs):
     return float(np.median(ts)) / xs.shape[0] * 1e3
 
 
+PEAK_FLOPS = {
+    "TPU v4": 275e12, "TPU v5 lite": 197e12, "TPU v5": 459e12,
+    "TPU v5p": 459e12, "TPU v6 lite": 918e12,
+}
+
+
+def model_mfu(apply_fn, params, x, ms):
+    """Analytic-FLOPs (XLA cost model) over chip peak at the measured time."""
+    try:
+        c = jax.jit(apply_fn).lower(params, x).compile()
+        flops = float(c.cost_analysis()["flops"])
+        peak = PEAK_FLOPS.get(jax.devices()[0].device_kind, 197e12)
+        return flops / (ms / 1e3) / peak
+    except Exception:
+        return float("nan")
+
+
 def bench_waveform_model(model, B, T, sr, dtype, iters=8):
     rng = np.random.default_rng(0)
     xs = jnp.asarray(rng.standard_normal((iters, B, 1, T)), dtype)
@@ -42,7 +59,7 @@ def bench_waveform_model(model, B, T, sr, dtype, iters=8):
     if dtype == jnp.bfloat16:
         params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
     ms = amortized_ms(model.apply, params, xs)
-    return B * (T / sr) / (ms / 1e3)
+    return B * (T / sr) / (ms / 1e3), model_mfu(model.apply, params, xs[0], ms)
 
 
 def main():
@@ -59,8 +76,8 @@ def main():
         sep_skip_channels=128, sep_num_blocks=3, sep_num_layers=8,
         causal=False, n_sources=2,
     )
-    rows.append(("Conv-TasNet (paper, f32)", bench_waveform_model(conv, 8, 32000, 8000, jnp.float32)))
-    rows.append(("Conv-TasNet (paper, bf16)", bench_waveform_model(conv, 8, 32000, 8000, jnp.bfloat16)))
+    rows.append(("Conv-TasNet (paper, f32)", *bench_waveform_model(conv, 8, 32000, 8000, jnp.float32)))
+    rows.append(("Conv-TasNet (paper, bf16)", *bench_waveform_model(conv, 8, 32000, 8000, jnp.bfloat16)))
 
     dprnn = DPRNNTasNet(
         n_basis=64, kernel_size=2, stride=1, enc_basis="trainable",
@@ -69,7 +86,7 @@ def main():
         sep_chunk_size=250, sep_hop_size=125, sep_num_blocks=6,
         causal=False, n_sources=2,
     )
-    rows.append(("DPRNN-TasNet (recipe, bf16)", bench_waveform_model(dprnn, 4, 32000, 8000, jnp.bfloat16, iters=4)))
+    rows.append(("DPRNN-TasNet (recipe, bf16)", *bench_waveform_model(dprnn, 4, 32000, 8000, jnp.bfloat16, iters=4)))
 
     sep = SepFormer(
         n_basis=256, kernel_size=16, stride=8, enc_nonlinear="relu",
@@ -78,7 +95,7 @@ def main():
         sep_num_heads_intra=8, sep_num_heads_inter=8,
         sep_d_ff_intra=1024, sep_d_ff_inter=1024, n_sources=2,
     )
-    rows.append(("SepFormer (recipe, bf16)", bench_waveform_model(sep, 4, 32000, 8000, jnp.bfloat16, iters=4)))
+    rows.append(("SepFormer (recipe, bf16)", *bench_waveform_model(sep, 4, 32000, 8000, jnp.bfloat16, iters=4)))
 
     # UMX spectrogram path: 6 s stereo @ 44.1k -> (B, 2, 2049, 259)
     umx = OpenUnmix(in_channels=2, hidden_channels=512, num_layers=3,
@@ -89,7 +106,8 @@ def main():
     vars_ = umx.init(jax.random.PRNGKey(0), jnp.zeros((B, 2, F, S), jnp.float32))
     vars_ = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, vars_)
     ms = amortized_ms(umx.apply, vars_, xs)
-    rows.append(("Open-Unmix (paper cfg, bf16)", B * 6.0 / (ms / 1e3)))
+    rows.append(("Open-Unmix (paper cfg, bf16)", B * 6.0 / (ms / 1e3),
+                 model_mfu(umx.apply, vars_, xs[0], ms)))
 
     lines = [
         "# Inference throughput (single TPU v5e chip)",
@@ -97,12 +115,12 @@ def main():
         "Amortized on-device timing (lax.scan over batches, one host fetch);",
         "recipe-scale configurations. audio-seconds processed per second:",
         "",
-        "| Model | RTF (audio-sec/sec/chip) |",
-        "|---|---|",
+        "| Model | RTF (audio-sec/sec/chip) | MFU |",
+        "|---|---|---|",
     ]
-    for name, rtf in rows:
-        print(f"{name}: {rtf:.0f}x realtime", flush=True)
-        lines.append(f"| {name} | {rtf:.0f} |")
+    for name, rtf, mfu in rows:
+        print(f"{name}: {rtf:.0f}x realtime, {mfu:.1%} MFU", flush=True)
+        lines.append(f"| {name} | {rtf:.0f} | {mfu:.1%} |")
     lines += [
         "",
         "The reference publishes no throughput numbers; its only perf",
@@ -114,8 +132,15 @@ def main():
         "for the single headline JSON line).",
     ]
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
-    with open(os.path.join(root, "BENCHMARKS.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    # Preserve the hand-written kernel-notes section across regeneration.
+    bench_path = os.path.join(root, "BENCHMARKS.md")
+    notes = ""
+    if os.path.exists(bench_path):
+        old = open(bench_path).read()
+        if "## Kernel notes" in old:
+            notes = "\n" + old[old.index("## Kernel notes"):]
+    with open(bench_path, "w") as f:
+        f.write("\n".join(lines) + "\n" + notes)
     print("wrote BENCHMARKS.md", flush=True)
 
 

@@ -84,6 +84,7 @@ def build_parser():
     p.add_argument("--continue_from", type=str, default=None)
     p.add_argument("--overwrite", type=int, default=0)
     p.add_argument("--seed", type=int, default=111)
+    p.add_argument("--num_workers", type=int, default=0, help="background loader threads")
     p.add_argument("--n_devices", type=int, default=None)
     return p
 
@@ -117,7 +118,8 @@ def main(args=None):
     print(f"Training dataset includes {len(train_ds)} samples.", flush=True)
     print(f"Valid dataset includes {len(valid_ds)} samples.", flush=True)
 
-    train_loader = DataLoader(train_ds, batch_size=args.batch_size, shuffle=True, seed=args.seed)
+    train_loader = DataLoader(train_ds, batch_size=args.batch_size, shuffle=True, seed=args.seed,
+                              num_workers=args.num_workers)
     valid_loader = DataLoader(valid_ds, batch_size=1)
 
     n_bins = args.n_fft // 2 + 1

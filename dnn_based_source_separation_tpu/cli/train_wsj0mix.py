@@ -66,6 +66,7 @@ def build_parser():
     p.add_argument("--continue_from", type=str, default=None)
     p.add_argument("--overwrite", type=int, default=0)
     p.add_argument("--seed", type=int, default=111)
+    p.add_argument("--num_workers", type=int, default=0, help="background loader threads")
     p.add_argument("--n_devices", type=int, default=None, help="mesh data-parallel size")
     p.add_argument("--mixed_precision", type=int, default=0, help="bf16 compute, f32 master params")
     return p
@@ -107,7 +108,8 @@ def main(args=None):
             max_sources=max_sources)
         print(f"Training dataset includes {len(train_ds)} samples.", flush=True)
         print(f"Valid dataset includes {len(valid_ds)} samples.", flush=True)
-        train_loader = DataLoader(train_ds, batch_size=args.batch_size, shuffle=True, seed=args.seed)
+        train_loader = DataLoader(train_ds, batch_size=args.batch_size, shuffle=True, seed=args.seed,
+                              num_workers=args.num_workers)
         valid_loader = DataLoader(valid_ds, batch_size=args.batch_size)
         trainer = ORPITTrainer(
             model, train_loader, valid_loader, ORPIT(NegSISDR()), optimizer,
@@ -122,7 +124,8 @@ def main(args=None):
     print(f"Training dataset includes {len(train_ds)} samples.", flush=True)
     print(f"Valid dataset includes {len(valid_ds)} samples.", flush=True)
 
-    train_loader = DataLoader(train_ds, batch_size=args.batch_size, shuffle=True, seed=args.seed)
+    train_loader = DataLoader(train_ds, batch_size=args.batch_size, shuffle=True, seed=args.seed,
+                              num_workers=args.num_workers)
     valid_loader = DataLoader(valid_ds, batch_size=1)
 
     model = build_wsj0mix_model(args)

@@ -4,9 +4,17 @@ Replaces torch DataLoader (reference TrainDataLoader/EvalDataLoader,
 `egs/wsj0-mix/common/src/dataset.py:625-683`). Batches are stacked numpy
 arrays with STATIC shapes (drop_last=True by default for training) so every
 step hits the same compiled XLA program.
+
+`num_workers`/`prefetch` add a background pipeline (the counterpart of the
+reference's num_workers): a thread pool loads items (wav IO and numpy
+slicing release the GIL) and up to `prefetch` assembled batches are staged
+ahead of the training step, overlapping host IO with device compute.
 """
 from __future__ import annotations
 
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 import numpy as np
@@ -21,6 +29,8 @@ class DataLoader:
         drop_last: Optional[bool] = None,
         seed: int = 0,
         collate_fn=None,
+        num_workers: int = 0,
+        prefetch: int = 2,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -28,6 +38,8 @@ class DataLoader:
         self.drop_last = shuffle if drop_last is None else drop_last
         self.rng = np.random.default_rng(seed)
         self.collate_fn = collate_fn
+        self.num_workers = num_workers
+        self.prefetch = prefetch
 
     def __len__(self):
         n = len(self.dataset)
@@ -35,15 +47,53 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self):
+    def _batch_starts(self):
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
             self.rng.shuffle(order)
         end = (n // self.batch_size) * self.batch_size if self.drop_last else n
-        for i in range(0, end, self.batch_size):
-            items = [self.dataset[int(j)] for j in order[i : i + self.batch_size]]
-            if self.collate_fn is not None:
-                yield self.collate_fn(items)
-            else:
-                yield tuple(np.stack(field) for field in zip(*items))
+        return order, range(0, end, self.batch_size)
+
+    def _assemble(self, idxs):
+        items = [self.dataset[int(j)] for j in idxs]
+        if self.collate_fn is not None:
+            return self.collate_fn(items)
+        return tuple(np.stack(field) for field in zip(*items))
+
+    def __iter__(self):
+        order, starts = self._batch_starts()
+        if self.num_workers <= 0:
+            for i in starts:
+                yield self._assemble(order[i : i + self.batch_size])
+            return
+
+        # Background pipeline: pool loads items per batch, a producer thread
+        # keeps up to `prefetch` ready batches staged.
+        q: queue.Queue = queue.Queue(maxsize=max(1, self.prefetch))
+        sentinel = object()
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    futures = [
+                        pool.submit(self._assemble, order[i : i + self.batch_size])
+                        for i in starts
+                    ]
+                    for fut in futures:
+                        q.put(fut.result())
+            except BaseException as exc:  # surface worker errors to the consumer
+                q.put(exc)
+                return
+            q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            out = q.get()
+            if out is sentinel:
+                break
+            if isinstance(out, BaseException):
+                raise out
+            yield out
+        thread.join()

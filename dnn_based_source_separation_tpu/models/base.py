@@ -78,7 +78,32 @@ def _sanitize_config(value):
     return value
 
 
-def save_model(path: str, model, params, extra: Dict[str, Any] | None = None):
+def save_model(path: str, model, params, extra: Dict[str, Any] | None = None,
+               backend: str = "msgpack"):
+    """Persist (model config, params, extra) to `path`.
+
+    backend="msgpack" (default): single self-contained file (the reference's
+    config-in-checkpoint .pth convention, src/models/conv_tasnet.py:312).
+    backend="orbax": an orbax-checkpoint directory (async-capable,
+    multi-host-safe array storage) with the model config in a sidecar JSON;
+    `load_model` auto-detects either form.
+    """
+    if backend == "orbax":
+        import json
+
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        item = {
+            "params": flax.serialization.to_state_dict(_to_numpy_tree(params)),
+            "extra": _sanitize_config(extra or {}),
+        }
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(path, item, force=True)
+        with open(os.path.join(path, "dnntpu_model.json"), "w") as f:
+            json.dump({"model_class": type(model).__name__,
+                       "config": _sanitize_config(model.get_config())}, f)
+        return
     blob = {
         "model_class": type(model).__name__,
         "config": _sanitize_config(model.get_config()),
@@ -103,6 +128,18 @@ def _rebuild_config(config):
 
 
 def load_model(path: str) -> Tuple[Any, Any, Dict[str, Any]]:
+    if os.path.isdir(path):  # orbax-checkpoint directory
+        import json
+
+        import orbax.checkpoint as ocp
+
+        with open(os.path.join(path, "dnntpu_model.json")) as f:
+            meta = json.load(f)
+        item = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+        cls = get_model_class(meta["model_class"])
+        model = cls(**_rebuild_config(meta["config"]))
+        params = jax.tree_util.tree_map(jnp.asarray, item["params"])
+        return model, params, item.get("extra", {})
     with open(path, "rb") as f:
         blob = flax.serialization.msgpack_restore(f.read())
     cls = get_model_class(blob["model_class"])

@@ -147,3 +147,40 @@ def test_musdb_valid_split(musdb_corpus):
     assert all(name == "trackA" for name, _ in train.index)
     ev = musdb.WaveEvalDataset(root, max_duration=1.0, sample_rate=sr)
     assert ev.names == ["trackB"]
+
+
+def test_dataloader_prefetch_matches_sync():
+    from dnn_based_source_separation_tpu.data import DataLoader
+
+    class _DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return (np.full((3,), i, np.float32), np.int32(i))
+
+    sync = list(DataLoader(_DS(), batch_size=2, shuffle=True, seed=7))
+    pre = list(DataLoader(_DS(), batch_size=2, shuffle=True, seed=7,
+                          num_workers=2, prefetch=3))
+    assert len(sync) == len(pre)
+    for a, b in zip(sync, pre):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+
+def test_dataloader_prefetch_propagates_errors():
+    import pytest
+
+    from dnn_based_source_separation_tpu.data import DataLoader
+
+    class _Bad:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            if i == 3:
+                raise RuntimeError("boom")
+            return (np.zeros(2, np.float32),)
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(DataLoader(_Bad(), batch_size=2, num_workers=2))

@@ -217,3 +217,30 @@ def test_overfit_dprnn_tasnet_to_convergence():
 
     sdri = _si_sdri(model, params, mixture, sources)
     assert sdri > 20.0, f"overfit SI-SDRi only {sdri:.2f} dB (loss {float(loss):.2f})"
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """save_model(backend='orbax') directory round-trips through load_model."""
+    import jax
+    import jax.numpy as jnp
+
+    from dnn_based_source_separation_tpu.models import ConvTasNet
+    from dnn_based_source_separation_tpu.models.base import load_model, save_model
+
+    model = ConvTasNet(n_basis=16, kernel_size=8, enc_basis="trainable",
+                       dec_basis="trainable", enc_nonlinear="relu",
+                       sep_hidden_channels=16, sep_bottleneck_channels=8,
+                       sep_skip_channels=8, sep_num_blocks=1, sep_num_layers=2,
+                       causal=False, n_sources=2)
+    x = jnp.zeros((1, 1, 800))
+    params = model.init(jax.random.PRNGKey(0), x)
+    extra = {"epoch": 3, "best_loss": -1.5, "history": [1.0, 0.5]}
+    path = str(tmp_path / "ckpt_orbax")
+    save_model(path, model, params, extra, backend="orbax")
+
+    model2, params2, extra2 = load_model(path)
+    assert type(model2).__name__ == "ConvTasNet"
+    out1 = model.apply(params, x)
+    out2 = model2.apply(params2, x)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+    assert int(extra2["epoch"]) == 3 and list(extra2["history"]) == [1.0, 0.5]

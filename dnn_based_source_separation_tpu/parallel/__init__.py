@@ -8,3 +8,4 @@ sharding demos (e.g. chunk-axis context parallelism in dual-path models).
 """
 
 from .mesh import make_mesh, data_sharding, replicated_sharding, shard_batch
+from . import multihost

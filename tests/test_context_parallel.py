@@ -35,3 +35,26 @@ def test_sharded_overlap_add_under_jit():
     out = f(chunks)
     ref = overlap_add(chunks, hop)[:, : S * hop]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_multihost_helpers_single_process_equivalence():
+    """multihost helpers on one process == plain mesh data sharding."""
+    import jax
+    import numpy as np
+
+    from dnn_based_source_separation_tpu.parallel import multihost
+
+    multihost.initialize()  # no-op single host
+    mesh = multihost.make_global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+
+    sl = multihost.host_batch_slice(16)
+    assert (sl.start, sl.stop) == (0, 16)
+
+    x = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    arr = multihost.make_global_array(mesh, x[sl])
+    np.testing.assert_array_equal(np.asarray(arr), x)
+    assert arr.sharding.spec == jax.sharding.PartitionSpec("data")
+
+    tree = multihost.shard_global_batch(mesh, {"a": x[sl], "b": x[sl] * 2})
+    np.testing.assert_array_equal(np.asarray(tree["b"]), x * 2)

@@ -1,0 +1,33 @@
+"""Tutorial: realtime-style chunk-by-chunk separation with a causal model.
+
+The reference demoed realtime separation with pyaudio microphone buffers;
+here the same loop runs file-to-file (swap `blocks()` for an audio callback
+in a live app). Run: python streaming_inference.py <checkpoint> <wav>
+"""
+import sys
+
+import numpy as np
+
+from dnn_based_source_separation_tpu.data.audio_io import read_wav, write_wav
+from dnn_based_source_separation_tpu.models.base import load_model
+from dnn_based_source_separation_tpu.models.streaming import StreamingSeparator
+
+
+def main(ckpt, wav, hop=4000, context=16000, sr=8000):
+    model, params, _ = load_model(ckpt)
+    x, sr = read_wav(wav)
+    T = (len(x) // hop) * hop
+    stream = StreamingSeparator(model, params, hop_samples=hop, context_samples=context)
+
+    outs = []
+    for s in range(0, T, hop):          # <- the "audio callback"
+        outs.append(stream.process(x[None, s:s + hop]))
+    est = np.concatenate(outs, axis=-1)  # (n_sources, T)
+
+    for i, sig in enumerate(est):
+        write_wav(f"stream_source{i}.wav", sig / (np.abs(sig).max() + 1e-9), sr)
+    print(f"wrote {est.shape[0]} sources, {T/sr:.1f}s each")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:3])

@@ -9,6 +9,7 @@ from ..models import (
     ConvTasNet,
     DPRNNTasNet,
     DPTNet,
+    FurcaNet,
     GALRNet,
     LSTMTasNet,
     SepFormer,
@@ -84,6 +85,17 @@ def build_wsj0mix_model(args):
             sep_down_chunk_size=args.sep_down_chunk_size,
             sep_num_blocks=args.sep_num_blocks, sep_num_heads=args.sep_num_heads,
             causal=args.causal, mask_nonlinear=args.mask_nonlinear,
+            n_sources=args.n_sources,
+        )
+    if name == "furcanet":
+        return FurcaNet(
+            conv_hidden_channels=args.conv_hidden_channels,
+            rnn_hidden_channels=args.rnn_hidden_channels,
+            num_conv_blocks=args.num_conv_blocks,
+            num_rnn_blocks=args.num_rnn_blocks,
+            kernel_size=args.sep_kernel_size,
+            nonlinear=args.mask_nonlinear,
+            causal=args.causal,
             n_sources=args.n_sources,
         )
     raise ValueError(f"Unsupported model: {args.model}")

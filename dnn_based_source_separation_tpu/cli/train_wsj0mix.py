@@ -52,6 +52,14 @@ def build_parser():
     p.add_argument("--sep_hop_size", type=int, default=50)
     p.add_argument("--sep_down_chunk_size", "-Q", type=int, default=32)
     p.add_argument("--sep_num_heads", type=int, default=4)
+    p.add_argument("--conv_hidden_channels", "-Hc", type=int, default=128,
+                   help="furcanet gated-conv hidden channels")
+    p.add_argument("--rnn_hidden_channels", "-Hr", type=int, default=128,
+                   help="furcanet BiLSTM hidden channels per direction")
+    p.add_argument("--num_conv_blocks", "-Bc", type=int, default=6,
+                   help="furcanet gated-conv blocks")
+    p.add_argument("--num_rnn_blocks", "-Br", type=int, default=6,
+                   help="furcanet BiLSTM layers")
     p.add_argument("--causal", type=int, default=0)
     p.add_argument("--mask_nonlinear", type=str, default="sigmoid")
     # optimization

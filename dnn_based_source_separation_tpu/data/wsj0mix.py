@@ -102,6 +102,41 @@ class WaveTrainDataset(_WaveDatasetBase):
         return mixture[None, :].astype(np.float32), sources.astype(np.float32)
 
 
+def create_spk_to_idx(list_path: str):
+    """Speaker table from a wsj0-mix list file (reference wavesplit
+    adhoc_utils.py:3-14): every other '_'-token of each utterance ID is a
+    speaker key; insertion order fixes the embedding-row index.
+    """
+    from ..utils.embedding import SpeakerToIndex
+
+    spk_to_idx = SpeakerToIndex()
+    for utt in _read_list(list_path):
+        for spk in utt.split("_")[0::2]:
+            spk_to_idx.add(spk)
+    return spk_to_idx
+
+
+class WaveTrainSpeakerDataset(WaveTrainDataset):
+    """Train windows plus per-utterance speaker indices (reference wavesplit
+    adhoc_dataset.py:8-25). Yields (mixture (1, T), sources (n_src, T),
+    spk_idx (n_src,) int32).
+    """
+
+    def __init__(self, wav_root, list_path, samples=32000, overlap=None,
+                 n_sources=2, spk_to_idx=None):
+        super().__init__(wav_root, list_path, samples=samples, overlap=overlap,
+                         n_sources=n_sources)
+        self.spk_to_idx = spk_to_idx if spk_to_idx is not None else create_spk_to_idx(list_path)
+
+    def __getitem__(self, idx):
+        mixture, sources = super().__getitem__(idx)
+        utt, _ = self.index[idx]
+        spk_idx = np.asarray(
+            [self.spk_to_idx(s) for s in utt.split("_")[0:-1:2]], np.int32
+        )
+        return mixture, sources, spk_idx
+
+
 class WaveEvalDataset(_WaveDatasetBase):
     """First max_samples of each utterance, zero-padded to a static shape."""
 

@@ -219,6 +219,41 @@ class WaveSplit(nn.Module, SeparationModelMixin):
             return est, sorted_v
         return est
 
+    def forward_train(self, mixture, spk_idx, gaussian: bool = False):
+        """Training forward (reference wavesplit adhoc_driver.py:128-170).
+
+        Computes the per-frame PIT speaker loss against the utterance's
+        speaker-embedding rows, sorts the speaker vectors with the winning
+        permutation (no grad through the integer argmin), and conditions the
+        separation stack on the sorted centroids.
+
+        Returns (per-layer estimates (B, n_layers, n_src, T), speaker loss (B,)).
+        """
+        x = jnp.moveaxis(mixture, 1, 2)  # (B, T, 1)
+        v = self.speaker_stack(x)  # (B, T, n_src, D)
+        emb = self.spk_embedding[spk_idx]  # (B, n_src, D)
+        spk_loss, sorted_idx = speaker_distance_loss(
+            v, emb, self.spk_embedding, spk_idx, gaussian=gaussian, eps=self.eps,
+        )
+        onehot = jax.nn.one_hot(sorted_idx, self.n_sources, dtype=v.dtype)
+        sorted_v = jnp.einsum("btos,btsd->btod", onehot, v)
+        centroids = jnp.mean(sorted_v, axis=1)  # (B, n_src, D)
+        est_all = self.separation_stack(x, centroids, return_all=True)
+        return est_all, spk_loss
+
+
+def entropy_regularization_loss(spk_embedding, eps: float = EPS):
+    """Push speaker-embedding rows apart (reference wavesplit
+    adhoc_criterion.py:273-306, EntropyRegularizationLoss): -sum over rows of
+    log distance to the nearest other row.
+    """
+    n = spk_embedding.shape[0]
+    sq = jnp.sum(jnp.square(spk_embedding[:, None] - spk_embedding[None]), axis=-1)
+    # sqrt(sq + eps): the plain norm has a NaN gradient at the zero diagonal.
+    d = jnp.sqrt(sq + eps)
+    d = d + 2.0 * jnp.max(d) * jnp.eye(n, dtype=d.dtype)
+    return -jnp.sum(jnp.log(jnp.min(d, axis=-1) + eps))
+
 
 def speaker_distance_loss(spk_vector, spk_embedding, all_spk_embedding,
                           spk_idx, gaussian: bool = False, scale=None, bias=None,

@@ -1,0 +1,21 @@
+#!/bin/bash
+# wsj0-mix / furcanet training recipe (TPU).
+# Mirrors the reference recipe flags (egs/wsj0-mix/furcanet/train.sh,
+# local/train.py:16-60: -Hc/-Hr/-Bc/-Br, sisdr criterion, batch 4); extra
+# flags pass straight through to the CLI (Kaldi-style --flag value).
+
+wav_root_train="${wav_root_train:-../../../dataset/wsj0-mix/2speakers/wav8k/min/tr}"
+wav_root_valid="${wav_root_valid:-../../../dataset/wsj0-mix/2speakers/wav8k/min/cv}"
+list_train="${list_train:-../../../dataset/wsj0-mix/2speakers/mix_2_spk_min_tr_mix}"
+list_valid="${list_valid:-../../../dataset/wsj0-mix/2speakers/mix_2_spk_min_cv_mix}"
+exp_dir="${exp_dir:-./exp}"
+
+python -m dnn_based_source_separation_tpu.cli.train_wsj0mix \
+    --model furcanet \
+    --train_wav_root "$wav_root_train" --train_list_path "$list_train" \
+    --valid_wav_root "$wav_root_valid" --valid_list_path "$list_valid" \
+    --exp_dir "$exp_dir" \
+    --duration 2 \
+    -Hc 128 -Hr 128 -Bc 6 -Br 6 --sep_kernel_size 3 \
+    --criterion sisdr --batch_size 4 \
+    "$@" | tee -a "$exp_dir/train.log"

@@ -54,6 +54,64 @@ def test_train_and_test_wsj0mix_cli(wsj0_corpus, tmp_path):
     assert np.isfinite(summary["loss"])
 
 
+def test_train_wsj0mix_furcanet(wsj0_corpus, tmp_path):
+    """FurcaNet recipe path (reference egs/wsj0-mix/furcanet/local/train.py)."""
+    from dnn_based_source_separation_tpu.cli import train_wsj0mix
+
+    exp = str(tmp_path / "exp")
+    train_wsj0mix.main([
+        "--train_wav_root", str(wsj0_corpus / "tr"),
+        "--train_list_path", str(wsj0_corpus / "tr.lst"),
+        "--valid_wav_root", str(wsj0_corpus / "cv"),
+        "--valid_list_path", str(wsj0_corpus / "cv.lst"),
+        "--model", "furcanet",
+        "-Hc", "8", "-Hr", "8", "-Bc", "2", "-Br", "1",
+        "--duration", "0.25", "--valid_duration", "0.5",
+        "--batch_size", "2", "--epochs", "1", "--exp_dir", exp,
+    ])
+    assert os.path.exists(os.path.join(exp, "model", "last.ckpt"))
+
+
+def test_train_wsj0mix_wavesplit(tmp_path):
+    """Wavesplit recipe path (reference egs/wsj0-mix/wavesplit): speaker
+    batches, joint speaker + per-layer reconstruction loss, clustering eval."""
+    from dnn_based_source_separation_tpu.cli import train_wsj0mix_wavesplit
+
+    rng = np.random.default_rng(3)
+    T = 4000
+    corpus = tmp_path / "corpus"
+    for split in ("tr", "cv"):
+        root = corpus / split
+        for sub in ("mix", "s1", "s2"):
+            os.makedirs(root / sub)
+        utts = []
+        for i in range(3):
+            s1 = 0.1 * rng.standard_normal(T)
+            s2 = 0.1 * rng.standard_normal(T)
+            # wsj0-style IDs: <spkA utt>_<gain>_<spkB utt>_<gain>
+            utt = f"01{i}a010{i}_0.5_02{i}c020{i}_-0.5"
+            write_wav(str(root / "s1" / f"{utt}.wav"), s1, 8000)
+            write_wav(str(root / "s2" / f"{utt}.wav"), s2, 8000)
+            write_wav(str(root / "mix" / f"{utt}.wav"), s1 + s2, 8000)
+            utts.append(utt)
+        (corpus / f"{split}.lst").write_text("\n".join(utts))
+
+    exp = str(tmp_path / "exp")
+    trainer = train_wsj0mix_wavesplit.main([
+        "--train_wav_root", str(corpus / "tr"),
+        "--train_list_path", str(corpus / "tr.lst"),
+        "--valid_wav_root", str(corpus / "cv"),
+        "--valid_list_path", str(corpus / "cv.lst"),
+        "-D", "16", "--spk_num_layers", "2",
+        "--sep_num_blocks", "1", "--sep_num_layers", "2",
+        "--reg_criterion", "entropy",
+        "--duration", "0.25", "--valid_duration", "0.5",
+        "--batch_size", "2", "--epochs", "1", "--exp_dir", exp,
+    ])
+    assert os.path.exists(os.path.join(exp, "model", "last.ckpt"))
+    assert np.isfinite(trainer.train_loss[0])
+
+
 @pytest.fixture()
 def musdb_corpus(tmp_path):
     rng = np.random.default_rng(1)

@@ -22,6 +22,7 @@ from .mrx import MultiResolutionCrossNet
 from .unet import UNet1d, UNet2d, EnsembleUNet1d, EnsembleUNet2d
 from .galr import GALR
 from .cunet import ConditionedUNet2d, ControlDenseNet, ControlConvNet
+from .cunet_choi import TDCUNet2d
 from .hrnet import HRNet
 from .wavesplit import WaveSplit, speaker_distance_loss
 from .meta_tasnet import MetaTasNet

@@ -94,3 +94,36 @@ def test_film_pocm_functions():
     gs = jnp.asarray(rng.standard_normal((2, 3, 3)), jnp.float32)
     bs = jnp.asarray(rng.standard_normal((2, 3)), jnp.float32)
     assert gpocm(x, gs, bs).shape == x.shape
+
+
+def test_tdc_cunet_choi_shapes_and_conditioning():
+    """cunet_choi TDC U-Net (reference egs/musdb18/cunet_choi/src/
+    adhoc_model.py:_test_tdc_cunet shape contract, scaled down)."""
+    from dnn_based_source_separation_tpu.models import TDCUNet2d
+
+    model = TDCUNet2d(
+        channels=[1, 4, 6, 8], kernel_size=3, control_channels=(4, 8),
+        conditioning="film", masking=True,
+    )
+    x = jnp.asarray(np.abs(np.random.default_rng(7).standard_normal((2, 1, 16, 12))), jnp.float32)
+    onehot_a = jnp.asarray(np.tile([[1, 0, 0, 0]], (2, 1)), jnp.float32)
+    onehot_b = jnp.asarray(np.tile([[0, 1, 0, 0]], (2, 1)), jnp.float32)
+    vars_ = model.init(jax.random.PRNGKey(0), x, onehot_a)
+    ya = model.apply(vars_, x, onehot_a)
+    yb = model.apply(vars_, x, onehot_b)
+    assert ya.shape == x.shape
+    assert not np.allclose(np.asarray(ya), np.asarray(yb))
+
+
+def test_tdc_cunet_choi_gpocm():
+    from dnn_based_source_separation_tpu.models import TDCUNet2d
+
+    model = TDCUNet2d(
+        channels=[1, 4, 6], kernel_size=3, control_channels=(4, 8),
+        conditioning="gpocm",
+    )
+    x = jnp.asarray(np.random.default_rng(8).standard_normal((1, 1, 8, 8)), jnp.float32)
+    onehot = jnp.asarray([[0, 0, 1, 0]], jnp.float32)
+    vars_ = model.init(jax.random.PRNGKey(1), x, onehot)
+    y = model.apply(vars_, x, onehot)
+    assert y.shape == x.shape

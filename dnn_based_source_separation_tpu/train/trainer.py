@@ -24,7 +24,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.base import load_model, save_model
-from ..parallel.mesh import shard_batch
 from .steps import (
     get_learning_rate,
     make_eval_step,
@@ -168,10 +167,14 @@ class Trainer:
         # remote-tunneled chip).
         device_losses = []
         n_batches = 0
-        for idx, (mixture, sources) in enumerate(self.train_loader):
-            batch = (jnp.asarray(mixture), jnp.asarray(sources))
-            if self.mesh is not None:
-                batch = shard_batch(self.mesh, batch)
+        # Double-buffered device prefetch: the next batch's host->device DMA
+        # overlaps the current step's compute (see data/loader.py).
+        from ..data.loader import prefetch_to_device
+        from ..parallel.mesh import data_sharding
+
+        sharding = data_sharding(self.mesh) if self.mesh is not None else None
+        batches = prefetch_to_device(self.train_loader, size=2, sharding=sharding)
+        for idx, batch in enumerate(batches):
             if self.dropout_rng is not None:
                 self.params, self.opt_state, loss, self.dropout_rng = self.train_step(
                     self.params, self.opt_state, *batch, self.dropout_rng

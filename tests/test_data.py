@@ -184,3 +184,32 @@ def test_dataloader_prefetch_propagates_errors():
 
     with pytest.raises(RuntimeError, match="boom"):
         list(DataLoader(_Bad(), batch_size=2, num_workers=2))
+
+
+def test_prefetch_to_device_matches_and_lands_on_device():
+    import jax
+
+    from dnn_based_source_separation_tpu.data.loader import prefetch_to_device
+
+    batches = [(np.full((2, 4), i, np.float32), np.full((2,), i, np.float32))
+               for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), size=2))
+    assert len(out) == 5
+    for i, (a, b) in enumerate(out):
+        assert isinstance(a, jax.Array)
+        np.testing.assert_array_equal(np.asarray(a), batches[i][0])
+        np.testing.assert_array_equal(np.asarray(b), batches[i][1])
+
+
+def test_prefetch_to_device_sharded_over_mesh():
+    import jax
+
+    from dnn_based_source_separation_tpu.data.loader import prefetch_to_device
+    from dnn_based_source_separation_tpu.parallel.mesh import data_sharding, make_mesh
+
+    mesh = make_mesh(8)
+    sharding = data_sharding(mesh)
+    batches = [(np.arange(16, dtype=np.float32).reshape(8, 2),)]
+    (out,), = list(prefetch_to_device(iter(batches), sharding=sharding))
+    assert out.sharding == sharding
+    np.testing.assert_array_equal(np.asarray(out), batches[0][0])

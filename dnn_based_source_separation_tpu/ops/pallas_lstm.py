@@ -60,9 +60,14 @@ def pallas_lstm_enabled() -> bool:
 
 
 def _lstm_kernel(xw_ref, whh_ref, hs_ref, cs_ref, h_ref, c_ref, *, chunk: int, hidden: int):
-    """One grid step = `chunk` timesteps. Scratch h/c persist across steps."""
+    """One grid step = `chunk` timesteps of one batch tile.
 
-    @pl.when(pl.program_id(0) == 0)
+    Grid is (batch_tiles, time_tiles) with time innermost; the h/c scratch
+    persists across sequential grid steps, so each new batch tile re-zeros
+    it at its first time tile.
+    """
+
+    @pl.when(pl.program_id(1) == 0)
     def _():
         h_ref[:] = jnp.zeros_like(h_ref)
         c_ref[:] = jnp.zeros_like(c_ref)
@@ -88,10 +93,27 @@ def _lstm_kernel(xw_ref, whh_ref, hs_ref, cs_ref, h_ref, c_ref, *, chunk: int, h
     jax.lax.fori_loop(0, chunk, step, 0, unroll=False)
 
 
-def _time_chunk(T: int, B: int, four_h: int, itemsize: int) -> int:
-    per_step = max(1, B * four_h * itemsize)
-    chunk = max(1, _VMEM_BLOCK_BYTES // per_step)
-    return min(T, chunk)
+def _tile_plan(T: int, B: int, four_h: int, itemsize: int,
+               budget: int = _VMEM_BLOCK_BYTES) -> tuple[int, int]:
+    """Pick (batch_tile, time_chunk) so each streamed block fits `budget`.
+
+    Large chunk-batches (e.g. DPTNet: B·S ~ 2500 chunks, 4H = 1024, f32)
+    exceed VMEM with even a single-timestep block, so the batch axis is
+    tiled too; batch tiles are independent recurrences (grid-outer), time
+    stays grid-inner and sequential.
+    """
+    per_row = max(1, four_h * itemsize)  # one batch row, one timestep
+    per_step = B * per_row
+    if per_step <= budget:
+        # Whole batch per sequential step (max chains/step — the per-step
+        # cost is machinery-bound, so batch rides along free); stream as
+        # many timesteps per grid block as fit.
+        return B, min(T, max(1, budget // per_step))
+    # Even one timestep of the full batch exceeds VMEM: tile the batch.
+    # Batch tiles multiply the sequential-step count, so make them as
+    # large as the budget allows (multiple of 8 sublanes).
+    b_tile = min(B, max(8, (budget // per_row) // 8 * 8))
+    return b_tile, 1
 
 
 def _lstm_pallas_raw(xw: jnp.ndarray, w_hh: jnp.ndarray, interpret: bool):
@@ -100,39 +122,40 @@ def _lstm_pallas_raw(xw: jnp.ndarray, w_hh: jnp.ndarray, interpret: bool):
     H = four_h // 4
     dtype = xw.dtype
 
-    chunk = _time_chunk(T, B, four_h, jnp.dtype(dtype).itemsize)
+    b_tile, chunk = _tile_plan(T, B, four_h, jnp.dtype(dtype).itemsize)
     T_pad = -(-T // chunk) * chunk
+    B_pad = -(-B // b_tile) * b_tile
     xw_t = jnp.swapaxes(xw, 0, 1)  # (T, B, 4H)
-    if T_pad != T:
-        # Trailing zero-padding is harmless: padded steps are discarded and
-        # never feed back into the first T real steps.
-        xw_t = jnp.pad(xw_t, ((0, T_pad - T), (0, 0), (0, 0)))
+    if T_pad != T or B_pad != B:
+        # Trailing zero-padding is harmless: padded steps/rows are discarded
+        # and never feed back into the real ones.
+        xw_t = jnp.pad(xw_t, ((0, T_pad - T), (0, B_pad - B), (0, 0)))
 
-    grid = (T_pad // chunk,)
+    grid = (B_pad // b_tile, T_pad // chunk)  # time innermost (sequential)
     kernel = functools.partial(_lstm_kernel, chunk=chunk, hidden=H)
     hs, cs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((chunk, B, four_h), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, four_h), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b_tile, four_h), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, four_h), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((chunk, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b_tile, H), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b_tile, H), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((T_pad, B, H), dtype),
-            jax.ShapeDtypeStruct((T_pad, B, H), dtype),
+            jax.ShapeDtypeStruct((T_pad, B_pad, H), dtype),
+            jax.ShapeDtypeStruct((T_pad, B_pad, H), dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((b_tile, H), jnp.float32),
+            pltpu.VMEM((b_tile, H), jnp.float32),
         ],
         interpret=interpret,
     )(xw_t, w_hh)
-    hs = jnp.swapaxes(hs[:T], 0, 1)
-    cs = jnp.swapaxes(cs[:T], 0, 1)
+    hs = jnp.swapaxes(hs[:T, :B], 0, 1)
+    cs = jnp.swapaxes(cs[:T, :B], 0, 1)
     return hs, cs
 
 
@@ -224,7 +247,7 @@ lstm_scan.defvjp(_lstm_fwd, _lstm_bwd)
 def _bidir_kernel(xw0_ref, xw1_ref, w0_ref, w1_ref,
                   hs0_ref, hs1_ref, cs0_ref, cs1_ref,
                   h0_ref, c0_ref, h1_ref, c1_ref, *, chunk: int, hidden: int):
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _():
         for r in (h0_ref, c0_ref, h1_ref, c1_ref):
             r[:] = jnp.zeros_like(r)
@@ -264,31 +287,33 @@ def _bidir_pallas_raw(xw_f, xw_b, whh_f, whh_b, interpret):
     dtype = xw_f.dtype
 
     item = jnp.dtype(dtype).itemsize
-    per_step = 2 * B * four_h * item + 4 * B * H * item
-    chunk = min(T, max(1, (5 << 20) // per_step))
+    # Two xw streams: halve the per-stream budget so the pair of blocks
+    # (plus 4 output blocks) still fits VMEM with double buffering.
+    b_tile, chunk = _tile_plan(T, B, four_h, item, budget=_VMEM_BLOCK_BYTES // 2)
     T_pad = -(-T // chunk) * chunk
+    B_pad = -(-B // b_tile) * b_tile
 
     def prep(xw):
         x = jnp.swapaxes(xw, 0, 1)
-        if T_pad != T:
-            x = jnp.pad(x, ((0, T_pad - T), (0, 0), (0, 0)))
+        if T_pad != T or B_pad != B:
+            x = jnp.pad(x, ((0, T_pad - T), (0, B_pad - B), (0, 0)))
         return x
 
-    inspec = pl.BlockSpec((chunk, B, four_h), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
-    wspec = pl.BlockSpec((H, four_h), lambda t: (0, 0), memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((chunk, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
-    oshape = jax.ShapeDtypeStruct((T_pad, B, H), dtype)
+    inspec = pl.BlockSpec((chunk, b_tile, four_h), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((H, four_h), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((chunk, b_tile, H), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((T_pad, B_pad, H), dtype)
     kernel = functools.partial(_bidir_kernel, chunk=chunk, hidden=H)
     outs = pl.pallas_call(
         kernel,
-        grid=(T_pad // chunk,),
+        grid=(B_pad // b_tile, T_pad // chunk),
         in_specs=[inspec, inspec, wspec, wspec],
         out_specs=(ospec,) * 4,
         out_shape=(oshape,) * 4,
-        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)] * 4,
+        scratch_shapes=[pltpu.VMEM((b_tile, H), jnp.float32)] * 4,
         interpret=interpret,
     )(prep(xw_f), prep(xw_b), whh_f, whh_b)
-    return tuple(jnp.swapaxes(o[:T], 0, 1) for o in outs)
+    return tuple(jnp.swapaxes(o[:T, :B], 0, 1) for o in outs)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

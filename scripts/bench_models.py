@@ -64,7 +64,8 @@ def bench_waveform_model(model, B, T, sr, dtype, iters=8):
 
 def main():
     from dnn_based_source_separation_tpu.models import (
-        ConvTasNet, DPRNNTasNet, SepFormer, OpenUnmix,
+        ConvTasNet, DPRNNTasNet, DPTNet, GALRNet, LSTMTasNet, SepFormer,
+        OpenUnmix,
     )
 
     rows = []
@@ -96,6 +97,29 @@ def main():
         sep_d_ff_intra=1024, sep_d_ff_inter=1024, n_sources=2,
     )
     rows.append(("SepFormer (recipe, bf16)", *bench_waveform_model(sep, 4, 32000, 8000, jnp.bfloat16, iters=4)))
+
+    dpt = DPTNet(
+        n_basis=64, kernel_size=2, stride=1, enc_nonlinear="relu",
+        sep_bottleneck_channels=64, sep_hidden_channels=256,
+        sep_chunk_size=100, sep_num_blocks=6, sep_num_heads=4,
+        mask_nonlinear="relu", n_sources=2,
+    )
+    rows.append(("DPTNet (recipe, bf16)", *bench_waveform_model(dpt, 4, 32000, 8000, jnp.bfloat16, iters=4)))
+
+    galr = GALRNet(
+        n_basis=64, kernel_size=16, stride=8, enc_nonlinear="relu",
+        sep_hidden_channels=128, sep_chunk_size=100, sep_hop_size=50,
+        sep_down_chunk_size=32, sep_num_blocks=6, sep_num_heads=8,
+        mask_nonlinear="relu", n_sources=2,
+    )
+    rows.append(("GALRNet (recipe, bf16)", *bench_waveform_model(galr, 4, 32000, 8000, jnp.bfloat16, iters=4)))
+
+    lstm = LSTMTasNet(
+        n_basis=500, kernel_size=40, stride=20, enc_basis="trainableGated",
+        dec_basis="trainable", sep_num_blocks=2, sep_num_layers=2,
+        sep_hidden_channels=500, mask_nonlinear="softmax", n_sources=2,
+    )
+    rows.append(("LSTM-TasNet (recipe, bf16)", *bench_waveform_model(lstm, 8, 32000, 8000, jnp.bfloat16, iters=4)))
 
     # UMX spectrogram path: 6 s stereo @ 44.1k -> (B, 2, 2049, 259)
     umx = OpenUnmix(in_channels=2, hidden_channels=512, num_layers=3,

@@ -152,3 +152,31 @@ def test_lstm_module_fused_bidir_matches_scan_path():
     out_scan = model.apply(params, x)
     del os.environ["DNNTPU_PALLAS_LSTM"]
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_scan), atol=1e-5)
+
+
+def test_pallas_lstm_batch_tiled_path():
+    """Large-batch shapes tile the batch axis (the DPTNet VMEM-OOM case):
+    force a tiny budget so b_tile < B and a non-multiple batch is padded."""
+    from dnn_based_source_separation_tpu.ops import pallas_lstm as PL
+
+    b_tile, chunk = PL._tile_plan(T=16, B=100, four_h=64, itemsize=4, budget=8192)
+    assert b_tile < 100 and chunk == 1
+
+    rng = np.random.default_rng(11)
+    B, T, H = 100, 6, 8
+    xw = jnp.asarray(rng.standard_normal((B, T, 4 * H)) * 0.2, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((H, 4 * H)) * 0.2, jnp.float32)
+
+    orig = PL._VMEM_BLOCK_BYTES
+    PL._VMEM_BLOCK_BYTES = 4 * H * 4 * 16  # forces b_tile=16, pad to 112
+    try:
+        out = PL.lstm_scan(xw, w, True)
+        hs_f, hs_b = PL.lstm_scan_bidir(xw, xw[:, ::-1], w, w, True)
+    finally:
+        PL._VMEM_BLOCK_BYTES = orig
+    ref = _lstm_scan_reference(xw, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hs_f), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(hs_b),
+        np.asarray(_lstm_scan_reference(xw[:, ::-1], w)), atol=1e-5)

@@ -47,6 +47,12 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.wav_read_f32.restype = ctypes.c_int
     lib.wav_read_f32_multichannel.argtypes = lib.wav_read_f32.argtypes
     lib.wav_read_f32_multichannel.restype = ctypes.c_int
+    lib.wav_read_batch_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_long),
+        ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.wav_read_batch_f32.restype = ctypes.c_int
     _LIB = lib
     return _LIB
 
@@ -85,4 +91,27 @@ def read_segment(path: str, start: int, frames: int, multichannel: bool = False)
         )
     if rc != 0:
         raise IOError(f"wav_read failed ({rc}) for {path}")
+    return out
+
+
+def read_segments_batch(paths, starts, frames: int, n_threads: int = 0) -> np.ndarray:
+    """Parallel mono-mixed batch read: (n, frames) float32.
+
+    One native call assembles the whole batch with an internal thread pool
+    (GIL-free) — the counterpart of torch DataLoader worker processes for
+    the fixed-window training path. Failed items raise.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native wav loader unavailable")
+    n = len(paths)
+    out = np.empty((n, frames), dtype=np.float32)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    c_starts = (ctypes.c_long * n)(*[int(s) for s in starts])
+    fails = lib.wav_read_batch_f32(
+        c_paths, c_starts, frames, n, n_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if fails:
+        raise IOError(f"wav_read_batch failed for {fails}/{n} items")
     return out

@@ -66,6 +66,16 @@ class _WaveDatasetBase:
 
     def _load(self, utt_id: str, start: int = 0, frames: int | None = None):
         mix_path, src_paths = self._paths(utt_id)
+        if frames is not None:
+            # Fixed-window hot path: one native threaded call reads the
+            # mixture + all sources (data/native_loader.py).
+            from . import native_loader
+
+            if native_loader.available():
+                paths = [mix_path] + src_paths
+                batch = native_loader.read_segments_batch(
+                    paths, [start] * len(paths), frames)
+                return batch[0], batch[1:]
         mixture, _ = read_wav(mix_path, start, frames)
         sources = [read_wav(p, start, frames)[0] for p in src_paths]
         return mixture, np.stack(sources)

@@ -110,10 +110,13 @@ def _tile_plan(T: int, B: int, four_h: int, itemsize: int,
         # many timesteps per grid block as fit.
         return B, min(T, max(1, budget // per_step))
     # Even one timestep of the full batch exceeds VMEM: tile the batch.
-    # Batch tiles multiply the sequential-step count, so make them as
-    # large as the budget allows (multiple of 8 sublanes).
-    b_tile = min(B, max(8, (budget // per_row) // 8 * 8))
-    return b_tile, 1
+    # Batch tiles multiply the sequential-step count, so use as few as the
+    # budget allows and equalize them (ceil(B / n_tiles), 8-sublane rounded)
+    # to avoid a mostly-padding final tile.
+    b_max = max(8, (budget // per_row) // 8 * 8)
+    n_tiles = -(-B // b_max)
+    b_tile = -(-(-(-B // n_tiles)) // 8) * 8
+    return min(B, b_tile), 1
 
 
 def _lstm_pallas_raw(xw: jnp.ndarray, w_hh: jnp.ndarray, interpret: bool):

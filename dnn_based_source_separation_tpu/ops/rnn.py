@@ -114,8 +114,12 @@ class LSTM(nn.Module):
                 # Both directional recurrences advance in ONE fused Pallas
                 # stepper; per-step cost is shared across the two chains.
                 (wif, whf, bf), (wib, whb, bb) = params
-                xw_f = jnp.dot(x, wif, preferred_element_type=None) + bf
-                xw_b = jnp.dot(jnp.flip(x, axis=1), wib, preferred_element_type=None) + bb
+                # Stream the recurrence IO in the parameter dtype: an f32
+                # upcast upstream (e.g. LayerNorm) would otherwise double
+                # the kernel's HBM traffic in bf16 models. Gate math is f32
+                # inside the kernel either way.
+                xw_f = (jnp.dot(x, wif, preferred_element_type=None) + bf).astype(wif.dtype)
+                xw_b = (jnp.dot(jnp.flip(x, axis=1), wib, preferred_element_type=None) + bb).astype(wif.dtype)
                 hs_f, hs_b = lstm_scan_bidir(
                     xw_f, xw_b, whf, whb, not jax.default_backend() == "tpu")
                 x = jnp.concatenate([hs_f, jnp.flip(hs_b, axis=1)], axis=-1)

@@ -13,9 +13,11 @@
 //     - reads `frames` frames starting at `start` (mono-mixes channels),
 //       zero-pads past EOF; returns 0 on success.
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -133,6 +135,32 @@ int wav_read_f32_multichannel(const char* path, long start, long frames, float* 
     for (long i = static_cast<long>(got); i < frames; ++i) row[i] = 0.0f;
   }
   return 0;
+}
+
+int wav_read_batch_f32(const char** paths, const long* starts, long frames,
+                       int n, int n_threads, float* out) {
+  // Parallel batch read: item i -> out + i*frames (mono-mixed), GIL-free.
+  // The counterpart of torch DataLoader worker processes for the fixed-
+  // window training path: one native call assembles the whole batch.
+  // Returns the number of failed items (their rows are zero-filled).
+  if (n <= 0) return 0;
+  unsigned hw = std::thread::hardware_concurrency();
+  int workers = n_threads > 0 ? n_threads : static_cast<int>(hw ? hw : 4);
+  if (workers > n) workers = n;
+  std::atomic<int> next(0), failures(0);
+  auto work = [&]() {
+    for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+      if (wav_read_f32(paths[i], starts[i], frames, out + static_cast<long>(i) * frames) != 0) {
+        memset(out + static_cast<long>(i) * frames, 0, sizeof(float) * frames);
+        failures.fetch_add(1);
+      }
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int w = 1; w < workers; ++w) pool.emplace_back(work);
+  work();
+  for (auto& t : pool) t.join();
+  return failures.load();
 }
 
 }  // extern "C"

@@ -33,7 +33,7 @@ def run(B, T, H, dtype, unroll):
     xw = jnp.asarray(rng.standard_normal((B, T, four_h)) * 0.1, dtype)
     whh = jnp.asarray(rng.standard_normal((H, four_h)) * 0.1, dtype)
 
-    chunk = PL._time_chunk(T, B, four_h, jnp.dtype(dtype).itemsize)
+    _, chunk = PL._tile_plan(T, B, four_h, jnp.dtype(dtype).itemsize)
     T_pad = -(-T // chunk) * chunk
     xw_t = jnp.swapaxes(xw, 0, 1)
     if T_pad != T:
@@ -62,7 +62,13 @@ def run(B, T, H, dtype, unroll):
             cs_ref[i] = c.astype(cs_ref.dtype)
             return 0
 
-        jax.lax.fori_loop(0, chunk, step, 0, unroll=unroll)
+        if unroll:
+            # Mosaic fori_loop only supports unroll=1; unroll manually
+            # (chunk is a static Python int).
+            for i in range(chunk):
+                step(i, 0)
+        else:
+            jax.lax.fori_loop(0, chunk, step, 0)
 
     f = pl.pallas_call(
         kernel,
@@ -81,15 +87,22 @@ def run(B, T, H, dtype, unroll):
         ),
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)] * 2,
     )
-    g = jax.jit(lambda a, w: f(a, w)[0])
-    out = g(xw_t, whh)
-    out.block_until_ready()
+    # Chain ITERS kernel calls in one scan and fetch ONE scalar: through the
+    # remote tunnel block_until_ready is unreliable and per-call latency
+    # dominates single launches.
+    ITERS = 20
+    def once(c, _):
+        hs, _cs = f(xw_t * (1.0 + 0.0 * c), whh)
+        return c + jnp.sum(hs[-1].astype(jnp.float32)), None
+    g = jax.jit(lambda: jax.lax.scan(once, jnp.float32(0.0), None, length=ITERS)[0])
+    float(g()); float(g())
     ts = []
     for _ in range(5):
         s = time.perf_counter()
-        g(xw_t, whh).block_until_ready()
+        float(g())
         ts.append(time.perf_counter() - s)
-    ms = float(np.median(ts)) * 1e3
+    ms = float(np.median(ts)) * 1e3 / ITERS
+    out = f(xw_t, whh)[0]
     print(f"B={B} T={T} H={H} {jnp.dtype(dtype).name} unroll={unroll}: "
           f"{ms:.2f} ms ({ms * 1e3 / T:.1f} us/step)", flush=True)
     return out
@@ -98,13 +111,13 @@ def run(B, T, H, dtype, unroll):
 def main():
     B, T, H = 1028, 250, 128
     ref = None
-    for unroll in (1, 2, 4, 8):
+    for unroll in (False, True):
         out = run(B, T, H, jnp.bfloat16, unroll)
         if ref is None:
             ref = out
         else:
             err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
-            print(f"  max |diff vs unroll=1| = {err:.2e}", flush=True)
+            print(f"  max |diff vs fori| = {err:.2e}", flush=True)
 
 
 if __name__ == "__main__":

@@ -160,3 +160,63 @@ class TestPesqCalibration:
         base = self._mos(tmp_path, clean, clean)
         assert abs(self._mos(tmp_path, clean, 0.5 * clean) - base) < 0.05
         assert abs(self._mos(tmp_path, clean, np.roll(clean, 80)) - base) < 0.05
+
+
+def test_native_batch_read_matches_serial(tmp_path):
+    _build(os.path.join(REPO, "native", "audioio"))
+    if not native_loader.available():
+        pytest.skip("native loader unavailable")
+    sr, T = 8000, 4000
+    rng = np.random.default_rng(5)
+    paths, signals = [], []
+    for i in range(7):
+        x = (0.2 * rng.standard_normal(T)).astype(np.float32)
+        p = str(tmp_path / f"item{i}.wav")
+        write_wav(p, x, sr)
+        paths.append(p)
+        signals.append(x)
+
+    starts = [0, 100, 200, 300, 0, 50, T - 64]  # last one crosses EOF
+    frames = 256
+    batch = native_loader.read_segments_batch(paths, starts, frames)
+    assert batch.shape == (7, frames)
+    for i, (p, s) in enumerate(zip(paths, starts)):
+        expected, _ = read_wav(p, s, frames)
+        np.testing.assert_allclose(batch[i, :len(expected)], expected, atol=1e-6)
+        assert np.all(batch[i, len(expected):] == 0.0)
+
+    missing = paths[:2] + [str(tmp_path / "nope.wav")]
+    with pytest.raises(IOError):
+        native_loader.read_segments_batch(missing, [0, 0, 0], frames)
+
+
+def test_wsj0mix_dataset_uses_native_batch_path(tmp_path):
+    """Dataset fixed-window loads are identical with and without the native
+    batch reader."""
+    _build(os.path.join(REPO, "native", "audioio"))
+    if not native_loader.available():
+        pytest.skip("native loader unavailable")
+    from dnn_based_source_separation_tpu.data.wsj0mix import WaveTrainDataset
+
+    sr, T = 8000, 6000
+    rng = np.random.default_rng(6)
+    for sub in ("mix", "s1", "s2"):
+        os.makedirs(tmp_path / sub)
+    s1 = 0.1 * rng.standard_normal(T)
+    s2 = 0.1 * rng.standard_normal(T)
+    write_wav(str(tmp_path / "s1" / "u.wav"), s1, sr)
+    write_wav(str(tmp_path / "s2" / "u.wav"), s2, sr)
+    write_wav(str(tmp_path / "mix" / "u.wav"), s1 + s2, sr)
+    (tmp_path / "l.lst").write_text("u")
+
+    ds = WaveTrainDataset(str(tmp_path), str(tmp_path / "l.lst"), samples=2048)
+    mix_native, src_native = ds[1]
+
+    lib, native_loader._LIB = native_loader._LIB, None
+    tried, native_loader._TRIED = native_loader._TRIED, True
+    try:
+        mix_scipy, src_scipy = ds[1]
+    finally:
+        native_loader._LIB, native_loader._TRIED = lib, tried
+    np.testing.assert_allclose(mix_native, mix_scipy, atol=1e-6)
+    np.testing.assert_allclose(src_native, src_scipy, atol=1e-6)

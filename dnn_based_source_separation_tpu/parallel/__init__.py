@@ -8,4 +8,5 @@ sharding demos (e.g. chunk-axis context parallelism in dual-path models).
 """
 
 from .mesh import make_mesh, data_sharding, replicated_sharding, shard_batch
+from .tensor import tp_dense_block
 from . import multihost

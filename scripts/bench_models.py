@@ -161,8 +161,10 @@ def main():
     notes = ""
     if os.path.exists(bench_path):
         old = open(bench_path).read()
-        if "## Kernel notes" in old:
-            notes = "\n" + old[old.index("## Kernel notes"):]
+        for marker in ("## Training-step throughput", "## Kernel notes"):
+            if marker in old:  # preserve hand-written sections
+                notes = "\n" + old[old.index(marker):]
+                break
     with open(bench_path, "w") as f:
         f.write("\n".join(lines) + "\n" + notes)
     print("wrote BENCHMARKS.md", flush=True)

@@ -244,3 +244,61 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     out2 = model2.apply(params2, x)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
     assert int(extra2["epoch"]) == 3 and list(extra2["history"]) == [1.0, 0.5]
+
+
+def test_overfit_sepformer_to_convergence():
+    """Same harness through the SepFormer path (dual-path transformer
+    grads, positional encoding, GTU mask head)."""
+    from dnn_based_source_separation_tpu.models import SepFormer
+
+    model = SepFormer(
+        n_basis=32, kernel_size=4, stride=2, enc_nonlinear="relu",
+        sep_bottleneck_channels=32, sep_chunk_size=20, sep_hop_size=10,
+        sep_num_blocks=1, sep_num_layers_intra=1, sep_num_layers_inter=1,
+        sep_num_heads_intra=2, sep_num_heads_inter=2,
+        sep_d_ff_intra=32, sep_d_ff_inter=32,
+        causal=False, n_sources=2,
+    )
+    ds = SyntheticMixtureDataset(n_items=4, samples=400)
+    mixture, sources = next(iter(DataLoader(ds, batch_size=4)))
+    mixture, sources = jnp.asarray(mixture), jnp.asarray(sources)
+
+    params = model.init(jax.random.PRNGKey(0), mixture)
+    opt = make_optimizer("adam", 5e-3, max_norm=5.0)
+    opt_state = opt.init(params["params"])
+    criterion = PIT1d(NegSISDR(), n_sources=2)
+    step = make_train_step(model, criterion, opt)
+
+    for _ in range(800):
+        params, opt_state, loss = step(params, opt_state, mixture, sources)
+
+    sdri = _si_sdri(model, params, mixture, sources)
+    assert sdri > 15.0, f"overfit SI-SDRi only {sdri:.2f} dB (loss {float(loss):.2f})"
+
+
+def test_overfit_dptnet_to_convergence():
+    """Same harness through the DPTNet path (MHA + LSTM-FFN improved
+    transformer grads)."""
+    from dnn_based_source_separation_tpu.models import DPTNet
+
+    model = DPTNet(
+        n_basis=32, kernel_size=4, stride=2, enc_nonlinear="relu",
+        sep_bottleneck_channels=16, sep_hidden_channels=16,
+        sep_chunk_size=20, sep_num_blocks=1, sep_num_heads=2,
+        causal=False, n_sources=2,
+    )
+    ds = SyntheticMixtureDataset(n_items=4, samples=400)
+    mixture, sources = next(iter(DataLoader(ds, batch_size=4)))
+    mixture, sources = jnp.asarray(mixture), jnp.asarray(sources)
+
+    params = model.init(jax.random.PRNGKey(0), mixture)
+    opt = make_optimizer("adam", 5e-3, max_norm=5.0)
+    opt_state = opt.init(params["params"])
+    criterion = PIT1d(NegSISDR(), n_sources=2)
+    step = make_train_step(model, criterion, opt)
+
+    for _ in range(800):
+        params, opt_state, loss = step(params, opt_state, mixture, sources)
+
+    sdri = _si_sdri(model, params, mixture, sources)
+    assert sdri > 15.0, f"overfit SI-SDRi only {sdri:.2f} dB (loss {float(loss):.2f})"

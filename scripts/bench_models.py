@@ -79,6 +79,7 @@ def main():
     )
     rows.append(("Conv-TasNet (paper, f32)", *bench_waveform_model(conv, 8, 32000, 8000, jnp.float32)))
     rows.append(("Conv-TasNet (paper, bf16)", *bench_waveform_model(conv, 8, 32000, 8000, jnp.bfloat16)))
+    rows.append(("Conv-TasNet (serving batch 32, bf16)", *bench_waveform_model(conv, 32, 32000, 8000, jnp.bfloat16, iters=4)))
 
     dprnn = DPRNNTasNet(
         n_basis=64, kernel_size=2, stride=1, enc_basis="trainable",
@@ -133,6 +134,34 @@ def main():
     rows.append(("Open-Unmix (paper cfg, bf16)", B * 6.0 / (ms / 1e3),
                  model_mfu(umx.apply, vars_, xs[0], ms)))
 
+    # X-UMX: 4 bridged UMX backbones, (B, 1, C, F, S) stereo input.
+    from dnn_based_source_separation_tpu.models import CrossNetOpenUnmix
+
+    xumx = CrossNetOpenUnmix(in_channels=2, hidden_channels=512, num_layers=3,
+                             n_bins=2049, max_bin=1487)
+    B = 4
+    xs = jnp.asarray(np.abs(rng.standard_normal((4, B, 1, 2, F, S))), jnp.bfloat16)
+    vars_ = xumx.init(jax.random.PRNGKey(0), jnp.zeros((B, 1, 2, F, S), jnp.float32))
+    vars_ = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, vars_)
+    ms = amortized_ms(xumx.apply, vars_, xs)
+    rows.append(("X-UMX (paper cfg, bf16)", B * 6.0 / (ms / 1e3),
+                 model_mfu(xumx.apply, vars_, xs[0], ms)))
+
+    # D3Net vocals (paper band config), 256-frame patches @ 44.1k/4096-hop.
+    from dnn_based_source_separation_tpu.utils.config import build_d3net_from_config
+
+    d3 = build_d3net_from_config(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..",
+        "egs/musdb18/d3net/config/vocals.yaml"))
+    B, Fd, Sd = 2, 2049, 256
+    xs = jnp.asarray(np.abs(rng.standard_normal((2, B, 2, Fd, Sd))), jnp.bfloat16)
+    vars_ = d3.init(jax.random.PRNGKey(0), jnp.zeros((B, 2, Fd, Sd), jnp.float32))
+    vars_ = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, vars_)
+    ms = amortized_ms(lambda p, x: d3.apply(p, x), vars_, xs)
+    sec_per_patch = Sd * 1024 / 44100  # hop 1024 (reference d3net config)
+    rows.append(("D3Net vocals (paper cfg, bf16)", B * sec_per_patch / (ms / 1e3),
+                 model_mfu(lambda p, x: d3.apply(p, x), vars_, xs[0], ms)))
+
     lines = [
         "# Inference throughput (single TPU v5e chip)",
         "",
@@ -146,6 +175,10 @@ def main():
         print(f"{name}: {rtf:.0f}x realtime, {mfu:.1%} MFU", flush=True)
         lines.append(f"| {name} | {rtf:.0f} | {mfu:.1%} |")
     lines += [
+        "",
+        "Batch 8 is Conv-TasNet's single-chip sweet spot: batch 32 *lowers*",
+        "throughput because the TDCN's activation working set leaves on-chip",
+        "memory -- scale serving with more chips, not batch.",
         "",
         "The reference publishes no throughput numbers; its only perf",
         "surface is recipe SDR tables (BASELINE.md). The project's north",

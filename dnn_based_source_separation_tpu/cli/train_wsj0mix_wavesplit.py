@@ -76,7 +76,7 @@ def main(args=None):
     samples = int(args.duration * args.sample_rate)
     valid_samples = int(args.valid_duration * args.sample_rate)
 
-    spk_to_idx = create_spk_to_idx(args.train_list_path)
+    spk_to_idx = create_spk_to_idx(args.train_list_path, args.n_sources)
     train_ds = WaveTrainSpeakerDataset(
         args.train_wav_root, args.train_list_path, samples=samples,
         n_sources=args.n_sources, spk_to_idx=spk_to_idx)

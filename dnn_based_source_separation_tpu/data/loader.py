@@ -69,34 +69,74 @@ class DataLoader:
             return
 
         # Background pipeline: pool loads items per batch, a producer thread
-        # keeps up to `prefetch` ready batches staged.
+        # keeps up to `prefetch` ready batches staged. Submission is LAZY
+        # (at most num_workers + prefetch futures outstanding) so a long
+        # epoch never materializes ahead of consumption, and a `stop` event
+        # lets an abandoned iterator (e.g. `next(iter(loader))`) tear the
+        # producer down instead of loading the rest of the epoch.
+        import collections
+
         q: queue.Queue = queue.Queue(maxsize=max(1, self.prefetch))
         sentinel = object()
+        stop = threading.Event()
 
         def producer():
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                    futures = [
-                        pool.submit(self._assemble, order[i : i + self.batch_size])
-                        for i in starts
-                    ]
-                    for fut in futures:
-                        q.put(fut.result())
+                    start_iter = iter(starts)
+                    pending: collections.deque = collections.deque()
+
+                    def submit_next():
+                        for i in start_iter:
+                            pending.append(pool.submit(
+                                self._assemble, order[i : i + self.batch_size]))
+                            return
+
+                    for _ in range(self.num_workers + q.maxsize):
+                        submit_next()
+                    while pending and not stop.is_set():
+                        result = pending.popleft().result()
+                        while not stop.is_set():
+                            try:
+                                q.put(result, timeout=0.1)
+                                break
+                            except queue.Full:
+                                continue
+                        submit_next()
+                    for fut in pending:  # abandoned: drop unconsumed work
+                        fut.cancel()
             except BaseException as exc:  # surface worker errors to the consumer
-                q.put(exc)
+                if not stop.is_set():
+                    try:
+                        q.put(exc, timeout=1.0)
+                    except queue.Full:
+                        pass
                 return
-            q.put(sentinel)
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            out = q.get()
-            if out is sentinel:
-                break
-            if isinstance(out, BaseException):
-                raise out
-            yield out
-        thread.join()
+        try:
+            while True:
+                out = q.get()
+                if out is sentinel:
+                    break
+                if isinstance(out, BaseException):
+                    raise out
+                yield out
+        finally:
+            stop.set()
+            try:  # unblock a producer stuck on q.put
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            thread.join(timeout=10)
 
 
 def prefetch_to_device(iterable, size: int = 2, sharding=None):

@@ -23,20 +23,34 @@ def _native_dir() -> str:
     return os.path.join(os.path.dirname(os.path.dirname(here)), "native", "audioio")
 
 
+def _make(target_dir: str) -> bool:
+    try:
+        subprocess.run(["make", "-C", target_dir], check=True,
+                       capture_output=True, timeout=120)
+        return True
+    except (subprocess.SubprocessError, OSError):
+        return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
     so = os.path.join(_native_dir(), "libwavloader.so")
-    if not os.path.exists(so):
-        try:
-            subprocess.run(["make", "-C", _native_dir()], check=True,
-                           capture_output=True, timeout=120)
-        except (subprocess.SubprocessError, OSError):
-            return None
+    if not os.path.exists(so) and not _make(_native_dir()):
+        return None
     try:
         lib = ctypes.CDLL(so)
+        if not hasattr(lib, "wav_read_batch_f32"):
+            # Stale prebuilt .so from before the batch reader existed:
+            # rebuild (the Makefile target depends on the source) and reload.
+            del lib
+            if not _make(_native_dir()):
+                return None
+            lib = ctypes.CDLL(so)
+            if not hasattr(lib, "wav_read_batch_f32"):
+                return None
     except OSError:
         return None
     lib.wav_info.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
@@ -113,5 +127,15 @@ def read_segments_batch(paths, starts, frames: int, n_threads: int = 0) -> np.nd
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     if fails:
-        raise IOError(f"wav_read_batch failed for {fails}/{n} items")
+        # The C ABI reports only a count; re-probe serially to name the
+        # culprits (failure is the cold path).
+        bad = []
+        for p, s in zip(paths, starts):
+            try:
+                read_segment(p, int(s), frames)
+            except IOError:
+                bad.append(p)
+        raise IOError(
+            f"wav_read_batch failed for {fails}/{n} items "
+            f"(non-PCM16 or unreadable): {bad[:4]}")
     return out

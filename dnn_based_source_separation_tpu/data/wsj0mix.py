@@ -68,14 +68,19 @@ class _WaveDatasetBase:
         mix_path, src_paths = self._paths(utt_id)
         if frames is not None:
             # Fixed-window hot path: one native threaded call reads the
-            # mixture + all sources (data/native_loader.py).
+            # mixture + all sources (data/native_loader.py). The native
+            # reader only handles PCM16 WAVs — fall back to scipy for
+            # anything else rather than failing the batch.
             from . import native_loader
 
             if native_loader.available():
                 paths = [mix_path] + src_paths
-                batch = native_loader.read_segments_batch(
-                    paths, [start] * len(paths), frames)
-                return batch[0], batch[1:]
+                try:
+                    batch = native_loader.read_segments_batch(
+                        paths, [start] * len(paths), frames)
+                    return batch[0], batch[1:]
+                except (IOError, RuntimeError):
+                    pass
         mixture, _ = read_wav(mix_path, start, frames)
         sources = [read_wav(p, start, frames)[0] for p in src_paths]
         return mixture, np.stack(sources)
@@ -112,16 +117,54 @@ class WaveTrainDataset(_WaveDatasetBase):
         return mixture[None, :].astype(np.float32), sources.astype(np.float32)
 
 
-def create_spk_to_idx(list_path: str):
-    """Speaker table from a wsj0-mix list file (reference wavesplit
-    adhoc_utils.py:3-14): every other '_'-token of each utterance ID is a
-    speaker key; insertion order fixes the embedding-row index.
+_WSJ_UTT_RE = None
+
+
+def speaker_keys(utt_id: str, n_sources: int) -> List[str]:
+    """Per-source speaker keys from a mixture utterance ID.
+
+    Handles both list formats: wsj0-mix `<utt>_<gain>_<utt>_<gain>` pairs
+    and LibriMix `<utt>_<utt>` (no gain fields). Keys collapse to the
+    SPEAKER, not the utterance: wsj0 utterance codes (e.g. '011a0101')
+    key by the 3-char speaker prefix, LibriSpeech codes
+    ('103-1240-0000') by the leading speaker field. (The reference
+    wavesplit adhoc_utils.py:3-14 keys by the full utterance token, which
+    makes its embedding table scale with utterances instead of speakers —
+    deliberately fixed here.)
+    """
+    global _WSJ_UTT_RE
+    if _WSJ_UTT_RE is None:
+        import re
+
+        _WSJ_UTT_RE = re.compile(r"^[0-9]{3}[0-9a-z]{5}$")
+    tokens = utt_id.split("_")
+    if len(tokens) >= 2 * n_sources:
+        toks = tokens[0::2][:n_sources]  # utt/gain pairs
+    elif len(tokens) == n_sources:
+        toks = tokens  # LibriMix style: utt tokens only
+    else:
+        raise ValueError(
+            f"cannot parse {n_sources} speakers from utterance ID '{utt_id}'")
+    keys = []
+    for t in toks:
+        if _WSJ_UTT_RE.match(t):
+            keys.append(t[:3])  # wsj0 speaker prefix
+        elif "-" in t:
+            keys.append(t.split("-")[0])  # LibriSpeech speaker-chapter-utt
+        else:
+            keys.append(t)
+    return keys
+
+
+def create_spk_to_idx(list_path: str, n_sources: int = 2):
+    """Speaker table from a wsj0-mix/LibriMix list file (reference wavesplit
+    adhoc_utils.py:3-14): insertion order fixes the embedding-row index.
     """
     from ..utils.embedding import SpeakerToIndex
 
     spk_to_idx = SpeakerToIndex()
     for utt in _read_list(list_path):
-        for spk in utt.split("_")[0::2]:
+        for spk in speaker_keys(utt, n_sources):
             spk_to_idx.add(spk)
     return spk_to_idx
 
@@ -136,13 +179,15 @@ class WaveTrainSpeakerDataset(WaveTrainDataset):
                  n_sources=2, spk_to_idx=None):
         super().__init__(wav_root, list_path, samples=samples, overlap=overlap,
                          n_sources=n_sources)
-        self.spk_to_idx = spk_to_idx if spk_to_idx is not None else create_spk_to_idx(list_path)
+        self.spk_to_idx = (spk_to_idx if spk_to_idx is not None
+                           else create_spk_to_idx(list_path, n_sources))
 
     def __getitem__(self, idx):
         mixture, sources = super().__getitem__(idx)
         utt, _ = self.index[idx]
         spk_idx = np.asarray(
-            [self.spk_to_idx(s) for s in utt.split("_")[0:-1:2]], np.int32
+            [self.spk_to_idx(s) for s in speaker_keys(utt, self.n_sources)],
+            np.int32,
         )
         return mixture, sources, spk_idx
 

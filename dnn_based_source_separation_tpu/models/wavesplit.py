@@ -292,5 +292,9 @@ def speaker_distance_loss(spk_vector, spk_embedding, all_spk_embedding,
     per_perm = jax.vmap(loss_for_perm)(perms)  # (P, B, T)
     best = jnp.argmin(per_perm, axis=0)  # (B, T)
     loss = jnp.min(per_perm, axis=0)  # (B, T)
-    sorted_idx = perms[best]  # (B, T, S)
+    # The winning perm maps vector s -> embedding perm[s]; downstream
+    # gathers want sorted_idx[o] = WHICH VECTOR belongs to source o, i.e.
+    # the INVERSE permutation (identical only for n_sources = 2).
+    inv_perms = jnp.argsort(perms, axis=-1)  # (P, S)
+    sorted_idx = inv_perms[best]  # (B, T, S)
     return jnp.mean(loss, axis=-1), sorted_idx

@@ -45,20 +45,8 @@ class AttractorTrainer(Trainer):
 
         self.eval_step = jax.jit(eval_step)
 
-    def run_one_epoch_train(self, epoch: int) -> float:
-        total, n_batches = 0.0, 0
-        for idx, batch in enumerate(self.train_loader):
-            batch = tuple(jnp.asarray(b) for b in batch)
-            if self.mesh is not None:
-                from ..parallel.mesh import shard_batch
-
-                batch = shard_batch(self.mesh, batch)
-            self.params, self.opt_state, loss = self.train_step(
-                self.params, self.opt_state, *batch
-            )
-            total += float(loss)
-            n_batches += 1
-        return total / max(n_batches, 1)
+    # run_one_epoch_train: the base Trainer loop handles arbitrary-arity
+    # batches (device prefetch, progress logging, throughput included).
 
     def run_one_epoch_eval(self, epoch: int) -> float:
         total, n_batches = 0.0, 0
@@ -128,6 +116,8 @@ class AnchoredAttractorTrainer(AttractorTrainer):
             self.train_step = lambda v, o, *b: jitted(v, o, None, *b)
         else:
             self.train_step = stepper
+        # The stepper splits its own rng; the base loop must not append one.
+        self.dropout_rng = None
 
         def eval_criterion(estimates, sources):
             out = criterion(estimates, sources)

@@ -68,17 +68,5 @@ class WaveSplitTrainer(Trainer):
 
         self.eval_step = jax.jit(eval_step)
 
-    def run_one_epoch_train(self, epoch: int) -> float:
-        device_losses = []
-        n_batches = 0
-        for batch in self.train_loader:
-            batch = tuple(jnp.asarray(b) for b in batch)
-            if self.mesh is not None:
-                from ..parallel.mesh import shard_batch
-
-                batch = shard_batch(self.mesh, batch)
-            self.params, self.opt_state, loss = self.train_step(
-                self.params, self.opt_state, *batch)
-            device_losses.append(loss)
-            n_batches += 1
-        return float(sum(float(l) for l in device_losses)) / max(n_batches, 1)
+    # run_one_epoch_train: the base Trainer loop handles arbitrary-arity
+    # batches (device prefetch, progress logging, throughput included).

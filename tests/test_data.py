@@ -213,3 +213,47 @@ def test_prefetch_to_device_sharded_over_mesh():
     (out,), = list(prefetch_to_device(iter(batches), sharding=sharding))
     assert out.sharding == sharding
     np.testing.assert_array_equal(np.asarray(out), batches[0][0])
+
+
+def test_dataloader_abandoned_iterator_stops_producer():
+    """Dropping a worker-backed iterator after one batch must stop the
+    producer thread (review finding: WaveSplitTrainer does next(iter(...)))."""
+    import threading
+
+    from dnn_based_source_separation_tpu.data.loader import DataLoader
+
+    loaded = []
+
+    class Slow:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            loaded.append(i)
+            return (np.zeros(4, np.float32),)
+
+    dl = DataLoader(Slow(), batch_size=2, num_workers=2, prefetch=1)
+    before = threading.active_count()
+    it = iter(dl)
+    next(it)
+    it.close()  # abandon
+    import time as _t
+
+    _t.sleep(0.5)
+    # Lazy submission: far fewer than all 64 items were ever loaded.
+    assert len(loaded) <= 16, f"producer ran ahead: {len(loaded)} items"
+    assert threading.active_count() <= before + 1
+
+
+def test_speaker_keys_formats():
+    from dnn_based_source_separation_tpu.data.wsj0mix import speaker_keys
+
+    # wsj0-mix: utt_gain pairs; key = 3-char speaker prefix
+    assert speaker_keys("011a0101_0.54422_022c0204_-0.54422", 2) == ["011", "022"]
+    # LibriMix: utt tokens only; key = LibriSpeech speaker field
+    assert speaker_keys("103-1240-0000_1089-134686-0000", 2) == ["103", "1089"]
+    # 3-speaker wsj0
+    assert speaker_keys("011a0101_0.5_022c0204_-0.5_440o030e_0.1", 3) == [
+        "011", "022", "440"]
+    with pytest.raises(ValueError):
+        speaker_keys("only-one-token", 2)

@@ -57,3 +57,31 @@ def test_speaker_distance_loss_prefers_correct_embeddings():
     )
     np.testing.assert_array_equal(np.asarray(idx_sw)[0, 0], [1, 0])
     np.testing.assert_allclose(np.asarray(loss_good), np.asarray(loss_sw), atol=1e-5)
+
+
+def test_speaker_sorting_aligns_vectors_to_embeddings_3src():
+    """For n_sources=3 the winning permutation must be INVERTED before
+    gathering: sorted_idx[o] = which vector belongs to embedding row o
+    (review finding: a 3-cycle exposed the non-inverted gather)."""
+    import jax.numpy as jnp
+
+    from dnn_based_source_separation_tpu.models.wavesplit import (
+        speaker_distance_loss,
+    )
+
+    rng = np.random.default_rng(0)
+    B, T, S, D = 1, 4, 3, 8
+    base = rng.standard_normal((S, D)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=-1, keepdims=True)
+    v = jnp.asarray(np.broadcast_to(base, (B, T, S, D)))
+    # Embedding row o holds the vector of source (o+1) % 3 -> the optimal
+    # assignment is a 3-cycle (not self-inverse).
+    emb = jnp.asarray(np.roll(base, -1, axis=0))[None]  # (1, S, D)
+    all_emb = emb[0]
+
+    _, sorted_idx = speaker_distance_loss(v, emb, all_emb, None)
+    onehot = jax.nn.one_hot(sorted_idx, S, dtype=v.dtype)
+    sorted_v = jnp.einsum("btos,btsd->btod", onehot, v)
+    np.testing.assert_allclose(
+        np.asarray(sorted_v), np.broadcast_to(np.asarray(emb)[:, None], sorted_v.shape),
+        atol=1e-6)

@@ -506,3 +506,55 @@ def test_additive_angular_margin_loss_matches_reference(reference_src):
         j_loss = AdditiveAngularMarginLoss(scale=30.0, margin=0.5, easy_margin=easy)(
             jnp.asarray(cos), jnp.asarray(target))
         np.testing.assert_allclose(float(j_loss), float(t_loss), rtol=1e-4)
+
+
+def test_tdc2d_forward_parity(reference_src):
+    """cunet_choi TDC dense block vs reference src/models/cunet.py TDC2d.
+
+    Note: the reference TDCTransformBlock2d computes its nonlinearity into
+    a dead variable and forwards the BN output (`x`, cunet.py:593-601), so
+    the comparable configuration here is nonlinear=None.
+    """
+    from models.cunet import TDC2d as RefTDC2d
+
+    from dnn_based_source_separation_tpu.models.cunet_choi import TDC2d
+
+    torch.manual_seed(0)
+    in_ch, growth, k, layers = 5, 6, 3, 3
+    ref = RefTDC2d(in_ch, growth, kernel_size=k, num_layers=layers,
+                   nonlinear="relu")
+    # Populate non-trivial BN running stats before comparing in eval mode.
+    with torch.no_grad():
+        ref.train()
+        ref(torch.randn(2, in_ch, 16, 7))
+        ref.eval()
+
+    ours = TDC2d(growth_rate=growth, kernel_size=k, num_layers=layers,
+                 nonlinear=None)
+    B, F, T = 2, 16, 7
+    x = np.random.default_rng(0).standard_normal((B, in_ch, F, T)).astype(np.float32)
+
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+
+    params, stats = {}, {}
+    cur = in_ch
+    for i in range(layers):
+        blk = ref.net[i]
+        w = blk.conv1d.weight.detach().numpy()  # (out, in, k)
+        params[f"conv{i}"] = {"kernel": jnp.asarray(np.transpose(w, (2, 1, 0))[:, None])}
+        bn = blk.norm1d
+        params[f"norm{i}"] = {
+            "scale": jnp.asarray(bn.weight.detach().numpy()),
+            "bias": jnp.asarray(bn.bias.detach().numpy()),
+        }
+        stats[f"norm{i}"] = {
+            "mean": jnp.asarray(bn.running_mean.numpy()),
+            "var": jnp.asarray(bn.running_var.numpy()),
+        }
+        cur += growth
+
+    xj = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))  # channels-last
+    got = ours.apply({"params": params, "batch_stats": stats}, xj, train=False)
+    got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+    assert _max_err(got, want) < ATOL

@@ -419,3 +419,40 @@ final:
         ])
         assert os.path.exists(os.path.join(exp, "model", "last.ckpt"))
         assert np.isfinite(trainer.train_loss[0])
+
+
+def test_train_wsj0mix_wavesplit_3src(tmp_path):
+    """3-speaker wavesplit: exercises the inverse-permutation speaker
+    sorting (non-self-inverse 3-cycles) end to end."""
+    from dnn_based_source_separation_tpu.cli import train_wsj0mix_wavesplit
+
+    rng = np.random.default_rng(9)
+    T = 4000
+    corpus = tmp_path / "corpus"
+    for split in ("tr", "cv"):
+        root = corpus / split
+        for sub in ("mix", "s1", "s2", "s3"):
+            os.makedirs(root / sub)
+        utts = []
+        for i in range(2):
+            srcs = [0.1 * rng.standard_normal(T) for _ in range(3)]
+            utt = f"01{i}a010{i}_0.5_02{i}c020{i}_-0.5_44{i}o030{i}_0.1"
+            for k, s in enumerate(srcs):
+                write_wav(str(root / f"s{k + 1}" / f"{utt}.wav"), s, 8000)
+            write_wav(str(root / "mix" / f"{utt}.wav"), sum(srcs), 8000)
+            utts.append(utt)
+        (corpus / f"{split}.lst").write_text("\n".join(utts))
+
+    exp = str(tmp_path / "exp")
+    trainer = train_wsj0mix_wavesplit.main([
+        "--train_wav_root", str(corpus / "tr"),
+        "--train_list_path", str(corpus / "tr.lst"),
+        "--valid_wav_root", str(corpus / "cv"),
+        "--valid_list_path", str(corpus / "cv.lst"),
+        "--n_sources", "3",
+        "-D", "16", "--spk_num_layers", "2",
+        "--sep_num_blocks", "1", "--sep_num_layers", "2",
+        "--duration", "0.25", "--valid_duration", "0.5",
+        "--batch_size", "2", "--epochs", "1", "--exp_dir", exp,
+    ])
+    assert np.isfinite(trainer.train_loss[0])

@@ -302,3 +302,32 @@ def test_overfit_dptnet_to_convergence():
 
     sdri = _si_sdri(model, params, mixture, sources)
     assert sdri > 15.0, f"overfit SI-SDRi only {sdri:.2f} dB (loss {float(loss):.2f})"
+
+
+def test_overfit_umx_spectrogram_to_convergence():
+    """Spectrogram-path overfit: UMX (BN + biLSTM + implicit mask) must fit
+    a fixed |spec| regression to near-zero MSE — catches BN-state threading
+    and spectrogram-domain gradient bugs the time-domain tests miss."""
+    from dnn_based_source_separation_tpu.models import OpenUnmix
+
+    model = OpenUnmix(in_channels=1, hidden_channels=16, num_layers=1,
+                      n_bins=33, max_bin=24)
+    rng = np.random.default_rng(0)
+    mix = jnp.asarray(np.abs(rng.standard_normal((4, 1, 33, 20))), jnp.float32)
+    target = 0.5 * mix  # a constant mask — trivially learnable
+
+    def mse(est, tgt, batch_mean=True):
+        return jnp.mean(jnp.square(est - tgt))
+
+    variables = model.init(jax.random.PRNGKey(0), mix)
+    opt = make_optimizer("adam", 1e-2)
+    opt_state = opt.init(variables["params"])
+    step = make_train_step(model, mse, opt, train_kwargs={"train": True})
+
+    first = None
+    for i in range(800):
+        variables, opt_state, loss = step(variables, opt_state, mix, target)
+        if first is None:
+            first = float(loss)
+    final = float(loss)
+    assert final < first / 20, f"UMX overfit stalled: {first:.4f} -> {final:.4f}"

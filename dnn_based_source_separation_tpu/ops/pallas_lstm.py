@@ -345,3 +345,137 @@ def _bidir_bwd(interpret, res, grads):
 
 
 lstm_scan_bidir.defvjp(_bidir_fwd, _bidir_bwd)
+
+
+# -- fused bidirectional GRU --------------------------------------------------
+#
+# Same design as the biLSTM stepper: both directional chains advance in one
+# kernel, weights + carry resident in VMEM, batch tiled when a timestep
+# exceeds the block budget. torch GRU semantics (gate order r, z, n;
+# n = tanh(x_n + r * (W_hn h + b_hn))) matching ops/rnn._gru_scan.
+
+def _gru_bidir_kernel(xw0_ref, xw1_ref, w0_ref, w1_ref, b0_ref, b1_ref,
+                      hs0_ref, hs1_ref, h0_ref, h1_ref, *, chunk: int, hidden: int):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        for r in (h0_ref, h1_ref):
+            r[:] = jnp.zeros_like(r)
+
+    H = hidden
+
+    def step(i, _):
+        g0 = jnp.dot(h0_ref[:].astype(w0_ref.dtype), w0_ref[:],
+                     preferred_element_type=jnp.float32) + b0_ref[:].astype(jnp.float32)
+        g1 = jnp.dot(h1_ref[:].astype(w1_ref.dtype), w1_ref[:],
+                     preferred_element_type=jnp.float32) + b1_ref[:].astype(jnp.float32)
+        for g, xr_ref, hr, hs in ((g0, xw0_ref, h0_ref, hs0_ref),
+                                  (g1, xw1_ref, h1_ref, hs1_ref)):
+            xt = xr_ref[i].astype(jnp.float32)
+            r = jax.nn.sigmoid(xt[:, :H] + g[:, :H])
+            z = jax.nn.sigmoid(xt[:, H:2 * H] + g[:, H:2 * H])
+            n = jnp.tanh(xt[:, 2 * H:] + r * g[:, 2 * H:])
+            h = (1.0 - z) * n + z * hr[:]
+            hr[:] = h
+            hs[i] = h.astype(hs.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, chunk, step, 0, unroll=False)
+
+
+def _gru_bidir_pallas_raw(xw_f, xw_b, whh_f, whh_b, bhh_f, bhh_b, interpret):
+    """xw_* (B, T, 3H) input gates (xw_b time-reversed). Returns (hs_f, hs_b)."""
+    B, T, three_h = xw_f.shape
+    H = three_h // 3
+    dtype = xw_f.dtype
+
+    item = jnp.dtype(dtype).itemsize
+    b_tile, chunk = _tile_plan(T, B, three_h, item, budget=_VMEM_BLOCK_BYTES // 2)
+    T_pad = -(-T // chunk) * chunk
+    B_pad = -(-B // b_tile) * b_tile
+
+    def prep(xw):
+        x = jnp.swapaxes(xw, 0, 1)
+        if T_pad != T or B_pad != B:
+            x = jnp.pad(x, ((0, T_pad - T), (0, B_pad - B), (0, 0)))
+        return x
+
+    inspec = pl.BlockSpec((chunk, b_tile, three_h), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((H, three_h), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, three_h), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((chunk, b_tile, H), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((T_pad, B_pad, H), dtype)
+    kernel = functools.partial(_gru_bidir_kernel, chunk=chunk, hidden=H)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B_pad // b_tile, T_pad // chunk),
+        in_specs=[inspec, inspec, wspec, wspec, bspec, bspec],
+        out_specs=(ospec,) * 2,
+        out_shape=(oshape,) * 2,
+        scratch_shapes=[pltpu.VMEM((b_tile, H), jnp.float32)] * 2,
+        interpret=interpret,
+    )(prep(xw_f), prep(xw_b), whh_f, whh_b,
+      bhh_f.reshape(1, -1), bhh_b.reshape(1, -1))
+    return tuple(jnp.swapaxes(o[:T, :B], 0, 1) for o in outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def gru_scan_bidir(xw_f, xw_b, whh_f, whh_b, bhh_f, bhh_b, interpret: bool = False):
+    """Fused bidirectional GRU recurrence (torch gate order r, z, n).
+
+    xw_f/xw_b: (B, T, 3H) input projections (+b_ih), xw_b over the
+    time-reversed sequence; returns (hs_f, hs_b) with hs_b reversed.
+    """
+    return _gru_bidir_pallas_raw(xw_f, xw_b, whh_f, whh_b, bhh_f, bhh_b, interpret)
+
+
+def _gru_bwd_core(xw, w_hh, b_hh, hs, g_hs):
+    B, T, H = hs.shape
+    f32 = jnp.float32
+
+    h_prev = jnp.concatenate([jnp.zeros((B, 1, H), hs.dtype), hs[:, :-1]], axis=1)
+    # Rematerialize gates with one MXU matmul.
+    hw = jnp.einsum("bth,hk->btk", h_prev.astype(w_hh.dtype), w_hh,
+                    preferred_element_type=f32) + b_hh.astype(f32)
+    xwf = xw.astype(f32)
+    r = jax.nn.sigmoid(xwf[..., :H] + hw[..., :H])
+    z = jax.nn.sigmoid(xwf[..., H:2 * H] + hw[..., H:2 * H])
+    n = jnp.tanh(xwf[..., 2 * H:] + r * hw[..., 2 * H:])
+
+    w_hh_t = w_hh.astype(f32).T  # (3H, H)
+
+    def step(dh_rec, xs):
+        g_h, r_t, z_t, n_t, hn_t, hp_t = xs
+        dh = g_h.astype(f32) + dh_rec
+        da_z = dh * (hp_t - n_t) * z_t * (1.0 - z_t)
+        dn = dh * (1.0 - z_t) * (1.0 - n_t * n_t)
+        da_r = dn * hn_t * r_t * (1.0 - r_t)
+        d_xw = jnp.concatenate([da_r, da_z, dn], axis=-1)
+        d_hw = jnp.concatenate([da_r, da_z, dn * r_t], axis=-1)
+        dh_prev = dh * z_t + jnp.dot(d_hw, w_hh_t, preferred_element_type=f32)
+        return dh_prev, (d_xw, d_hw)
+
+    xs = tuple(jnp.swapaxes(a, 0, 1) for a in
+               (g_hs, r, z, n, hw[..., 2 * H:], h_prev.astype(f32)))
+    _, (d_xws, d_hws) = jax.lax.scan(step, jnp.zeros((B, H), f32), xs, reverse=True)
+    d_xw = jnp.swapaxes(d_xws, 0, 1).astype(xw.dtype)
+    d_hw = jnp.swapaxes(d_hws, 0, 1)
+    d_whh = jnp.einsum("bth,btk->hk", h_prev.astype(f32), d_hw,
+                       preferred_element_type=f32).astype(w_hh.dtype)
+    d_bhh = jnp.sum(d_hw, axis=(0, 1)).astype(b_hh.dtype)
+    return d_xw, d_whh, d_bhh
+
+
+def _gru_bidir_fwd(xw_f, xw_b, whh_f, whh_b, bhh_f, bhh_b, interpret):
+    hs_f, hs_b = _gru_bidir_pallas_raw(xw_f, xw_b, whh_f, whh_b, bhh_f, bhh_b, interpret)
+    return (hs_f, hs_b), (xw_f, xw_b, whh_f, whh_b, bhh_f, bhh_b, hs_f, hs_b)
+
+
+def _gru_bidir_bwd(interpret, res, grads):
+    xw_f, xw_b, whh_f, whh_b, bhh_f, bhh_b, hs_f, hs_b = res
+    g_f, g_b = grads
+    d_xw_f, d_whh_f, d_bhh_f = _gru_bwd_core(xw_f, whh_f, bhh_f, hs_f, g_f)
+    d_xw_b, d_whh_b, d_bhh_b = _gru_bwd_core(xw_b, whh_b, bhh_b, hs_b, g_b)
+    return d_xw_f, d_xw_b, d_whh_f, d_whh_b, d_bhh_f, d_bhh_b
+
+
+gru_scan_bidir.defvjp(_gru_bidir_fwd, _gru_bidir_bwd)

@@ -144,9 +144,12 @@ class GRU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from .pallas_lstm import gru_scan_bidir, pallas_lstm_enabled
+
         H = self.hidden_size
+        fuse_bidir = self.bidirectional and pallas_lstm_enabled()
         for layer in range(self.num_layers):
-            outs = []
+            params = []
             for direction in range(2 if self.bidirectional else 1):
                 sfx = f"_l{layer}" + ("_reverse" if direction else "")
                 F = x.shape[-1]
@@ -154,11 +157,23 @@ class GRU(nn.Module):
                 w_hh = self.param(f"w_hh{sfx}", nn.initializers.orthogonal(), (H, 3 * H))
                 b_ih = self.param(f"b_ih{sfx}", nn.initializers.zeros, (3 * H,))
                 b_hh = self.param(f"b_hh{sfx}", nn.initializers.zeros, (3 * H,))
-                xin = jnp.flip(x, axis=1) if direction else x
-                xw = jnp.dot(xin, w_ih, preferred_element_type=None) + b_ih
-                hs = _gru_scan(xw, w_hh, b_hh, H)
-                outs.append(jnp.flip(hs, axis=1) if direction else hs)
-            x = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+                params.append((w_ih, w_hh, b_ih, b_hh))
+            if fuse_bidir:
+                (wif, whf, bif, bhf), (wib, whb, bib, bhb) = params
+                xw_f = (jnp.dot(x, wif, preferred_element_type=None) + bif).astype(wif.dtype)
+                xw_b = (jnp.dot(jnp.flip(x, axis=1), wib, preferred_element_type=None) + bib).astype(wif.dtype)
+                hs_f, hs_b = gru_scan_bidir(
+                    xw_f, xw_b, whf, whb, bhf, bhb,
+                    not jax.default_backend() == "tpu")
+                x = jnp.concatenate([hs_f, jnp.flip(hs_b, axis=1)], axis=-1)
+            else:
+                outs = []
+                for direction, (w_ih, w_hh, b_ih, b_hh) in enumerate(params):
+                    xin = jnp.flip(x, axis=1) if direction else x
+                    xw = jnp.dot(xin, w_ih, preferred_element_type=None) + b_ih
+                    hs = _gru_scan(xw, w_hh, b_hh, H)
+                    outs.append(jnp.flip(hs, axis=1) if direction else hs)
+                x = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
             if self.dropout > 0.0 and layer < self.num_layers - 1:
                 x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
         return x

@@ -180,3 +180,56 @@ def test_pallas_lstm_batch_tiled_path():
     np.testing.assert_allclose(
         np.asarray(hs_b),
         np.asarray(_lstm_scan_reference(xw[:, ::-1], w)), atol=1e-5)
+
+
+def _gru_scan_reference(xw, w_hh, b_hh):
+    import jax
+
+    B, T, three_h = xw.shape
+    H = three_h // 3
+
+    def step(h, xt):
+        hw = jnp.dot(h, w_hh) + b_hh
+        r = jax.nn.sigmoid(xt[:, :H] + hw[:, :H])
+        z = jax.nn.sigmoid(xt[:, H:2 * H] + hw[:, H:2 * H])
+        n = jnp.tanh(xt[:, 2 * H:] + r * hw[:, 2 * H:])
+        h = (1.0 - z) * n + z * h
+        return h, h
+
+    import jax.lax as lax
+
+    _, hs = lax.scan(step, jnp.zeros((B, H), xw.dtype), jnp.swapaxes(xw, 0, 1))
+    return jnp.swapaxes(hs, 0, 1)
+
+
+def test_pallas_gru_bidir_matches_scans():
+    import jax
+
+    from dnn_based_source_separation_tpu.ops.pallas_lstm import gru_scan_bidir
+
+    rng = np.random.default_rng(12)
+    B, T, H = 5, 9, 8
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.3, jnp.float32)
+    xw_f, xw_b = mk(B, T, 3 * H), mk(B, T, 3 * H)
+    w_f, w_b = mk(H, 3 * H), mk(H, 3 * H)
+    b_f, b_b = mk(3 * H), mk(3 * H)
+
+    hs_f, hs_b = gru_scan_bidir(xw_f, xw_b, w_f, w_b, b_f, b_b, True)
+    np.testing.assert_allclose(
+        np.asarray(hs_f), np.asarray(_gru_scan_reference(xw_f, w_f, b_f)), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(hs_b), np.asarray(_gru_scan_reference(xw_b, w_b, b_b)), atol=1e-5)
+
+    def loss_fused(*args):
+        h0, h1 = gru_scan_bidir(*args, True)
+        return jnp.sum(h0 ** 2) + jnp.sum(jnp.abs(h1))
+
+    def loss_ref(xwf, xwb, wf, wb, bf, bb):
+        return (jnp.sum(_gru_scan_reference(xwf, wf, bf) ** 2)
+                + jnp.sum(jnp.abs(_gru_scan_reference(xwb, wb, bb))))
+
+    args = (xw_f, xw_b, w_f, w_b, b_f, b_b)
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(6)))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

@@ -43,6 +43,7 @@ def build_wsj0mix_model(args):
             sep_num_blocks=args.sep_num_blocks,
             causal=args.causal, mask_nonlinear=args.mask_nonlinear,
             n_sources=args.n_sources,
+            rnn_type=getattr(args, "rnn_type", "lstm"),
         )
     if name == "lstm-tasnet":
         return LSTMTasNet(

@@ -3,8 +3,10 @@
 # Counterpart of reference egs/dsd100/conv-tasnet: after
 # egs/dsd100/common/prepare_dsd100.sh converts DSD100 to the musdb18
 # layout, the musdb18 conv-tasnet CLI drives training directly.
+. "$(dirname "${BASH_SOURCE[0]}")/../../common/path.sh"
 dsd100_root="${dsd100_root:-../../../dataset/DSD100}"
 exp_dir="${exp_dir:-./exp}"
+mkdir -p "$exp_dir"
 
 python -m dnn_based_source_separation_tpu.cli.train_musdb18 \
     --musdb18_root "$dsd100_root" --exp_dir "$exp_dir" \

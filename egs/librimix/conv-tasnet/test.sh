@@ -1,7 +1,9 @@
 #!/bin/bash
 # LibriMix / Conv-TasNet evaluation recipe (TPU).
+. "$(dirname "${BASH_SOURCE[0]}")/../../common/path.sh"
 libri_root="${libri_root:-../../../dataset/LibriMix/Libri2Mix/wav8k/min}"
 exp_dir="${exp_dir:-./exp}"
+mkdir -p "$exp_dir"
 model_choice="${model_choice:-best}"
 
 python -m dnn_based_source_separation_tpu.cli.test_wsj0mix \

@@ -2,8 +2,10 @@
 # LibriMix / Conv-TasNet training recipe (TPU): Libri2Mix wav8k/min exposes
 # the same mix/s1/s2 layout as wsj0-mix, so the wsj0mix CLI drives it
 # directly (see egs/librimix/common/prepare_librimix.sh).
+. "$(dirname "${BASH_SOURCE[0]}")/../../common/path.sh"
 libri_root="${libri_root:-../../../dataset/LibriMix/Libri2Mix/wav8k/min}"
 exp_dir="${exp_dir:-./exp}"
+mkdir -p "$exp_dir"
 
 python -m dnn_based_source_separation_tpu.cli.train_wsj0mix \
     --model conv-tasnet \

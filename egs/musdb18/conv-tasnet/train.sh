@@ -2,8 +2,10 @@
 # MUSDB18 / Conv-TasNet training recipe (TPU): joint stereo encoder,
 # waveform MSE. Mirrors reference egs/musdb18/conv-tasnet/train.sh
 # (N=256 L=20 H=512 B=256 Sc=128 P=3 X=10 R=4, adam lr=3e-4).
+. "$(dirname "${BASH_SOURCE[0]}")/../../common/path.sh"
 musdb18_root="${musdb18_root:-../../../dataset/MUSDB18}"
 exp_dir="${exp_dir:-./exp}"
+mkdir -p "$exp_dir"
 
 python -m dnn_based_source_separation_tpu.cli.train_musdb18 \
     --musdb18_root "$musdb18_root" --exp_dir "$exp_dir" \

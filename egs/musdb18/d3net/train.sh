@@ -1,8 +1,10 @@
 #!/bin/bash
 # MUSDB18 / D3Net training recipe (TPU): per-stem band-structured D3Net,
 # magnitude MSE. Mirrors reference egs/musdb18/d3net/train.sh.
+. "$(dirname "${BASH_SOURCE[0]}")/../../common/path.sh"
 musdb18_root="${musdb18_root:-../../../dataset/MUSDB18}"
 exp_dir="${exp_dir:-./exp}"
+mkdir -p "$exp_dir"
 config="${config:-./config/vocals.yaml}"
 
 python -m dnn_based_source_separation_tpu.cli.train_musdb18 \

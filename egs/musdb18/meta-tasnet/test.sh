@@ -1,8 +1,10 @@
 #!/bin/bash
 # MUSDB18 / meta-tasnet evaluation recipe (TPU): chunked full-track inference +
 # multichannel Wiener + museval-v4 median-of-medians per stem.
+. "$(dirname "${BASH_SOURCE[0]}")/../../common/path.sh"
 musdb18_root="${musdb18_root:-../../../dataset/MUSDB18}"
 exp_dir="${exp_dir:-./exp}"
+mkdir -p "$exp_dir"
 model_choice="${model_choice:-best}"
 
 python -m dnn_based_source_separation_tpu.cli.test_musdb18 \

@@ -1,8 +1,10 @@
 #!/bin/bash
 # MUSDB18 / MMDenseNet training recipe (TPU): per-stem band-split DenseNets,
 # magnitude MSE. Mirrors reference egs/musdb18/mm-densenet/train.sh.
+. "$(dirname "${BASH_SOURCE[0]}")/../../common/path.sh"
 musdb18_root="${musdb18_root:-../../../dataset/MUSDB18}"
 exp_dir="${exp_dir:-./exp}"
+mkdir -p "$exp_dir"
 config="${config:-./config/paper.yaml}"
 
 python -m dnn_based_source_separation_tpu.cli.train_musdb18 \

@@ -1,8 +1,10 @@
 #!/bin/bash
 # WHAM! evaluation (same tester as wsj0-mix: SI-SDRi/SDRi/PESQ).
+. "$(dirname "${BASH_SOURCE[0]}")/../../common/path.sh"
 wav_root_test="${wav_root_test:?set wav_root_test}"
 list_test="${list_test:?set list_test}"
 exp_dir="${exp_dir:-./exp}"
+mkdir -p "$exp_dir"
 model_choice="${model_choice:-best}"
 
 python -m dnn_based_source_separation_tpu.cli.test_wsj0mix \

@@ -4,11 +4,13 @@
 # egs/wham/README.md) reuse the wsj0-style list/dir layout with noise
 # mixed in; point the roots at the prepared WHAM wav dirs and set
 # --n_sources (1 for enhancement targets + noise, 2 for separate-noisy).
+. "$(dirname "${BASH_SOURCE[0]}")/../../common/path.sh"
 wav_root_train="${wav_root_train:?set wav_root_train}"
 wav_root_valid="${wav_root_valid:?set wav_root_valid}"
 list_train="${list_train:?set list_train}"
 list_valid="${list_valid:?set list_valid}"
 exp_dir="${exp_dir:-./exp}"
+mkdir -p "$exp_dir"
 
 python -m dnn_based_source_separation_tpu.cli.train_wsj0mix \
     --model conv-tasnet \

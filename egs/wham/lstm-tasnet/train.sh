@@ -1,10 +1,12 @@
 #!/bin/bash
 # WHAM! / LSTM-TasNet training recipe (TPU).
+. "$(dirname "${BASH_SOURCE[0]}")/../../common/path.sh"
 wav_root_train="${wav_root_train:-../../../dataset/wham/wav8k/min/tr}"
 wav_root_valid="${wav_root_valid:-../../../dataset/wham/wav8k/min/cv}"
 list_train="${list_train:-../../../dataset/wham/wav8k/min/tr.lst}"
 list_valid="${list_valid:-../../../dataset/wham/wav8k/min/cv.lst}"
 exp_dir="${exp_dir:-./exp}"
+mkdir -p "$exp_dir"
 
 python -m dnn_based_source_separation_tpu.cli.train_wsj0mix \
     --model lstm-tasnet \

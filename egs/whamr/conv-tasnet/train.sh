@@ -2,12 +2,14 @@
 # WHAMR! / Conv-TasNet training recipe (TPU): the WHAMR tree exposes the same
 # mix/s1/s2 layout as wsj0-mix (mix_both_reverb etc.); pick the condition via
 # the directory variables.
+. "$(dirname "${BASH_SOURCE[0]}")/../../common/path.sh"
 condition="${condition:-mix_both_reverb}"
 wav_root_train="${wav_root_train:-../../../dataset/WHAMR/wav8k/min/tr}"
 wav_root_valid="${wav_root_valid:-../../../dataset/WHAMR/wav8k/min/cv}"
 list_train="${list_train:-../../../dataset/WHAMR/wav8k/min/tr.lst}"
 list_valid="${list_valid:-../../../dataset/WHAMR/wav8k/min/cv.lst}"
 exp_dir="${exp_dir:-./exp}"
+mkdir -p "$exp_dir"
 
 python -m dnn_based_source_separation_tpu.cli.train_wsj0mix \
     --model conv-tasnet \

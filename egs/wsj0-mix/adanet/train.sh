@@ -3,11 +3,13 @@
 # Mirrors the reference recipe flags (egs/wsj0-mix/adanet/train.sh: wfm
 # threshold 40, K=20, H=300, B=4, N=6 anchors, dropout 0.5, adam lr=1e-3).
 
+. "$(dirname "${BASH_SOURCE[0]}")/../../common/path.sh"
 wav_root_train="${wav_root_train:-../../../dataset/wsj0-mix/2speakers/wav8k/min/tr}"
 wav_root_valid="${wav_root_valid:-../../../dataset/wsj0-mix/2speakers/wav8k/min/cv}"
 list_train="${list_train:-../../../dataset/wsj0-mix/2speakers/mix_2_spk_min_tr_mix}"
 list_valid="${list_valid:-../../../dataset/wsj0-mix/2speakers/mix_2_spk_min_cv_mix}"
 exp_dir="${exp_dir:-./exp}"
+mkdir -p "$exp_dir"
 
 python -m dnn_based_source_separation_tpu.cli.train_wsj0mix_spec \
     --model adanet \

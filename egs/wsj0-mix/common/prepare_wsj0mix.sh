@@ -5,6 +5,7 @@
 #
 #   wsj0_root=/path/to/wsj0_wav list=/path/to/mix_2_spk_min_tr_mix \
 #   out=/path/to/2speakers/wav8k/min/tr ./prepare_wsj0mix.sh
+. "$(dirname "${BASH_SOURCE[0]}")/../../common/path.sh"
 set -e
 python -m dnn_based_source_separation_tpu.cli.create_mixtures \
     --list_path "$list" --wav_root "$wsj0_root" --out_root "$out" \

@@ -4,11 +4,13 @@
 # ibm threshold 40, K=40 embed, H=300, B=2, affinity loss,
 # momentum-sgd lr=1e-5 momentum=0.9).
 
+. "$(dirname "${BASH_SOURCE[0]}")/../../common/path.sh"
 wav_root_train="${wav_root_train:-../../../dataset/wsj0-mix/2speakers/wav8k/min/tr}"
 wav_root_valid="${wav_root_valid:-../../../dataset/wsj0-mix/2speakers/wav8k/min/cv}"
 list_train="${list_train:-../../../dataset/wsj0-mix/2speakers/mix_2_spk_min_tr_mix}"
 list_valid="${list_valid:-../../../dataset/wsj0-mix/2speakers/mix_2_spk_min_cv_mix}"
 exp_dir="${exp_dir:-./exp}"
+mkdir -p "$exp_dir"
 
 python -m dnn_based_source_separation_tpu.cli.train_wsj0mix_spec \
     --model deep-clustering \

@@ -2,6 +2,7 @@
 # wsj0-mix / oracle frequency-mask evaluation recipe (TPU).
 # Mirrors the reference recipe (egs/wsj0-mix/frequency-mask/test.sh): no
 # training; evaluates ideal masks (IBM/IRM/WFM/IAM/PSM/ICM) on the test set.
+. "$(dirname "${BASH_SOURCE[0]}")/../../common/path.sh"
 wav_root_test="${wav_root_test:-../../../dataset/wsj0-mix/2speakers/wav8k/min/tt}"
 list_test="${list_test:-../../../dataset/wsj0-mix/2speakers/mix_2_spk_min_tt_mix}"
 mask="${mask:-ibm}"

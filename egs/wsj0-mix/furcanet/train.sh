@@ -4,11 +4,13 @@
 # local/train.py:16-60: -Hc/-Hr/-Bc/-Br, sisdr criterion, batch 4); extra
 # flags pass straight through to the CLI (Kaldi-style --flag value).
 
+. "$(dirname "${BASH_SOURCE[0]}")/../../common/path.sh"
 wav_root_train="${wav_root_train:-../../../dataset/wsj0-mix/2speakers/wav8k/min/tr}"
 wav_root_valid="${wav_root_valid:-../../../dataset/wsj0-mix/2speakers/wav8k/min/cv}"
 list_train="${list_train:-../../../dataset/wsj0-mix/2speakers/mix_2_spk_min_tr_mix}"
 list_valid="${list_valid:-../../../dataset/wsj0-mix/2speakers/mix_2_spk_min_cv_mix}"
 exp_dir="${exp_dir:-./exp}"
+mkdir -p "$exp_dir"
 
 python -m dnn_based_source_separation_tpu.cli.train_wsj0mix \
     --model furcanet \

@@ -61,12 +61,14 @@ def separate_longform(
     weights = np.tile(w, (n_chunks, 1))
     weights_j = jnp.asarray(weights)[:, None, None, :]  # (n_chunks, 1, 1, chunk)
 
-    y = jnp.zeros((B, n_sources, total), mixture.dtype)
+    # Accumulate the crossfade in f32 regardless of compute dtype (a bf16
+    # accumulator both loses precision and trips scatter dtype promotion).
+    y = jnp.zeros((B, n_sources, total), jnp.float32)
     wsum = np.zeros(total, np.float32)
-    weighted = outs * weights_j
+    weighted = outs.astype(jnp.float32) * weights_j
     for i in range(n_chunks):  # static small loop; XLA fuses the adds
         s = int(starts[i])
         y = y.at[:, :, s : s + chunk_samples].add(weighted[i])
         wsum[s : s + chunk_samples] += weights[i]
     y = y / jnp.asarray(np.maximum(wsum, 1e-8))
-    return y[..., :T]
+    return y[..., :T].astype(mixture.dtype)

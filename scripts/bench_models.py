@@ -194,8 +194,8 @@ def main():
     notes = ""
     if os.path.exists(bench_path):
         old = open(bench_path).read()
-        for marker in ("## Training-step throughput", "## Streaming latency",
-                       "## Kernel notes"):
+        for marker in ("## Training-step throughput", "## Long-form inference",
+                       "## Streaming latency", "## Kernel notes"):
             if marker in old:  # preserve hand-written sections
                 notes = "\n" + old[old.index(marker):]
                 break

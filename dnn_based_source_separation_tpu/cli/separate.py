@@ -38,14 +38,14 @@ def main(args=None):
     forward = jax.jit(model.apply)
 
     if args.chunk_duration:
+        # Overlapped chunked scan with triangular crossfade (no hard
+        # boundaries), one compiled program per chunk-count bucket.
+        from ..models.longform import separate_longform
+
         chunk = int(args.chunk_duration * sr)
-        n_chunks = -(-T // chunk)
-        xp = np.pad(x, (0, n_chunks * chunk - T))
-        outs = []
-        for i in range(n_chunks):
-            seg = jnp.asarray(xp[None, None, i * chunk : (i + 1) * chunk])
-            outs.append(np.asarray(forward(params, seg)[0]))
-        est = np.concatenate(outs, axis=-1)[:, :T]
+        n_src = getattr(model, "n_sources", 2)
+        est = np.asarray(separate_longform(
+            model.apply, params, jnp.asarray(x[None, None]), chunk, n_src)[0])
     else:
         est = np.asarray(forward(params, jnp.asarray(x[None, None]))[0])
 

@@ -456,3 +456,33 @@ def test_train_wsj0mix_wavesplit_3src(tmp_path):
         "--batch_size", "2", "--epochs", "1", "--exp_dir", exp,
     ])
     assert np.isfinite(trainer.train_loss[0])
+
+
+def test_separate_cli_chunked(tmp_path):
+    """--chunk_duration path: overlapped crossfaded longform scan."""
+    import jax
+    import jax.numpy as jnp
+
+    from dnn_based_source_separation_tpu.cli import separate
+    from dnn_based_source_separation_tpu.models import ConvTasNet
+    from dnn_based_source_separation_tpu.models.base import save_model
+
+    model = ConvTasNet(
+        n_basis=16, kernel_size=8, stride=4, enc_basis="trainable",
+        dec_basis="trainable", enc_nonlinear="relu",
+        sep_hidden_channels=16, sep_bottleneck_channels=8, sep_skip_channels=8,
+        sep_num_blocks=1, sep_num_layers=2, causal=False, n_sources=2,
+    )
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 4000), jnp.float32))
+    ckpt = str(tmp_path / "m.ckpt")
+    save_model(ckpt, model, params, {})
+
+    rng = np.random.default_rng(0)
+    wav = str(tmp_path / "mix.wav")
+    write_wav(wav, 0.1 * rng.standard_normal(9000), 8000)
+
+    out = str(tmp_path / "out")
+    separate.main(["--model_path", ckpt, "--input", wav,
+                   "--out_dir", out, "--chunk_duration", "0.5"])
+    files = sorted(os.listdir(out))
+    assert files == ["source0.wav", "source1.wav"]

@@ -57,6 +57,18 @@ def main(args=None):
 
     chunk = int(args.duration * args.sample_rate)
     forward = jax.jit(model.apply)
+    # Jit the complex-spectral stages too: the experimental TPU backend only
+    # implements complex ops inside compiled programs (eager complex
+    # elementwise dispatch is UNIMPLEMENTED). Chunked stft/istft compile
+    # once (fixed shapes); the full-track Wiener recompiles per track
+    # length, which a handful of test tracks amortizes.
+    import functools
+
+    stft_jit = jax.jit(functools.partial(stft, n_fft=n_fft, hop_length=hop, window=window))
+    istft_jit = jax.jit(functools.partial(istft, n_fft=n_fft, hop_length=hop,
+                                          window=window, length=chunk))
+    wiener_jit = jax.jit(functools.partial(
+        multichannel_wiener_filter, iteration=args.iter_wiener))
 
     for name, mixture, refs in dataset:
         # mixture (1, C, T); refs (n_src, C, T)
@@ -76,15 +88,14 @@ def main(args=None):
 
         mix_spec = np.concatenate(
             [
-                np.asarray(stft(jnp.asarray(mix_p[0, :, i * chunk : (i + 1) * chunk]),
-                                n_fft, hop, window=window))
+                np.asarray(stft_jit(jnp.asarray(mix_p[0, :, i * chunk : (i + 1) * chunk])))
                 for i in range(n_chunks)
             ],
             axis=-1,
         )  # (C, F, S_total)
 
-        est_spec = multichannel_wiener_filter(
-            jnp.asarray(mix_spec), jnp.asarray(est_amp), iteration=args.iter_wiener,
+        est_spec = wiener_jit(
+            jnp.asarray(mix_spec), jnp.asarray(est_amp),
         )  # (n_src, C, F, S_total)
 
         # iSTFT per chunk span, then trim the zero pad.
@@ -92,7 +103,7 @@ def main(args=None):
         waves = []
         for i in range(n_chunks):
             seg_spec = est_spec[..., i * S_chunk : (i + 1) * S_chunk]
-            waves.append(np.asarray(istft(seg_spec, n_fft, hop, window=window, length=chunk)))
+            waves.append(np.asarray(istft_jit(seg_spec)))
         est_wave = np.concatenate(waves, axis=-1)[..., :T]  # (n_src, C, T)
 
         evaluater.add_track(refs.transpose(0, 2, 1), est_wave.transpose(0, 2, 1))

@@ -46,23 +46,29 @@ def main(args=None):
     window = build_window(args.n_fft, "hann")
     make_mask = MASKS[args.mask]
 
+    import jax
+
+    # One compiled program per utterance length: complex elementwise ops are
+    # only implemented inside compiled programs on the experimental TPU
+    # backend, and jit also fuses the whole mask->resynth->metric pipeline.
+    @jax.jit
+    def oracle_separate(mixture, sources):
+        T = mixture.shape[-1]
+        mix_spec = stft(mixture[0], args.n_fft, args.hop_length, window=window)
+        src_spec = stft(sources, args.n_fft, args.hop_length, window=window)
+        mask = make_mask(src_spec)
+        est_spec = mask * mix_spec[None]
+        est = istft(est_spec, args.n_fft, args.hop_length, window=window, length=T)
+        si_est = jnp.mean(sisdr(est, sources))
+        si_mix = jnp.mean(sisdr(jnp.tile(mixture, (sources.shape[0], 1)), sources))
+        return si_est, si_mix
+
     improvements = []
     for utt_id, mixture, sources in WaveTestDataset(
         args.test_wav_root, args.test_list_path, n_sources=args.n_sources
     ):
-        T = mixture.shape[-1]
-        mix_spec = stft(jnp.asarray(mixture[0]), args.n_fft, args.hop_length, window=window)
-        src_spec = stft(jnp.asarray(sources), args.n_fft, args.hop_length, window=window)
-        mask = make_mask(src_spec)
-        if args.mask in ("ibm", "irm", "wfm"):
-            est_spec = mask * mix_spec[None]
-        else:  # psm-style real mask on the complex mixture
-            est_spec = mask * mix_spec[None]
-        est = istft(est_spec, args.n_fft, args.hop_length, window=window, length=T)
-
-        si_est = float(jnp.mean(sisdr(est, jnp.asarray(sources))))
-        si_mix = float(jnp.mean(sisdr(jnp.tile(jnp.asarray(mixture), (args.n_sources, 1)),
-                                      jnp.asarray(sources))))
+        si_est, si_mix = oracle_separate(jnp.asarray(mixture), jnp.asarray(sources))
+        si_est, si_mix = float(si_est), float(si_mix)
         improvements.append(si_est - si_mix)
         print(f"{utt_id}, SI-SDRi: {improvements[-1]:.3f}", flush=True)
 

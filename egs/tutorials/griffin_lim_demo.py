@@ -2,6 +2,11 @@
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..", ".."))
 import numpy as np
+# Tiny eager demo: CPU avoids complex-elementwise gaps on experimental
+# TPU backends (library callers run these ops under jit, where they work).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 from dnn_based_source_separation_tpu.algorithm import fast_griffin_lim, griffin_lim, misi

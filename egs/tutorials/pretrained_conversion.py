@@ -16,4 +16,6 @@ def main(path):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) < 2:
+        sys.exit("usage: python pretrained_conversion.py <best.pth>")
     main(sys.argv[1])

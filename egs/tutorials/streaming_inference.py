@@ -4,7 +4,10 @@ The reference demoed realtime separation with pyaudio microphone buffers;
 here the same loop runs file-to-file (swap `blocks()` for an audio callback
 in a live app). Run: python streaming_inference.py <checkpoint> <wav>
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
 
 import numpy as np
 
@@ -30,4 +33,6 @@ def main(ckpt, wav, hop=4000, context=16000, sr=8000):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        sys.exit("usage: python streaming_inference.py <checkpoint> <wav>")
     main(*sys.argv[1:3])

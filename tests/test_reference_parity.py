@@ -558,3 +558,42 @@ def test_tdc2d_forward_parity(reference_src):
     got = ours.apply({"params": params, "batch_stats": stats}, xj, train=False)
     got = np.transpose(np.asarray(got), (0, 3, 1, 2))
     assert _max_err(got, want) < ATOL
+
+
+def test_build_from_pretrained_layout(reference_src, tmp_path):
+    """The hub's offline pretrained flow: a reference-format .pth placed in
+    the PRETRAINED.md directory layout loads, converts, and runs, matching
+    the torch forward."""
+    from models.conv_tasnet import ConvTasNet as RefConvTasNet
+
+    from dnn_based_source_separation_tpu.hub.pretrained import build_from_pretrained
+
+    torch.manual_seed(1)
+    kwargs = dict(
+        n_basis=16, kernel_size=8, stride=4, enc_basis="trainable",
+        dec_basis="trainable", enc_nonlinear="relu",
+        sep_hidden_channels=12, sep_bottleneck_channels=8, sep_skip_channels=8,
+        sep_kernel_size=3, sep_num_blocks=2, sep_num_layers=2,
+        causal=False, n_sources=2,
+    )
+    ref = RefConvTasNet(**kwargs).eval()
+
+    # Reference checkpoint format: config dict + state_dict in one blob
+    # (driver.py:208-226), saved under root/task/sr/<n>speakers/.
+    d = tmp_path / "wsj0-mix" / "sr8000" / "2speakers"
+    os.makedirs(d)
+    blob = dict(ref.get_config())
+    blob["state_dict"] = ref.state_dict()
+    torch.save(blob, str(d / "best.pth"))
+
+    model, params = build_from_pretrained(
+        task="wsj0-mix", sample_rate=8000, n_sources=2, root=str(tmp_path))
+
+    x = torch.randn(1, 1, 320)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+    ours = model.apply(params, jnp.asarray(x.numpy()))
+    assert _max_err(ours, expected) < ATOL
+
+    with pytest.raises(FileNotFoundError):
+        build_from_pretrained(task="musdb18", root=str(tmp_path))

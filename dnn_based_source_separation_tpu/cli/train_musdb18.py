@@ -260,9 +260,22 @@ def main(args=None):
         raise ValueError(f"Unsupported model: {args.model}")
 
     if args.criterion:
-        table = {"mse": spec_mse, "mae": spec_mae, "l1loss": spec_mae}
-        if args.model in ("conv-tasnet",):
-            table = {"mse": MSELoss(dim=-1), "mae": MAELoss(dim=-1)}
+        # Override table per OUTPUT DOMAIN: spectrogram models compare
+        # magnitudes via SpectralTargetAdapter; waveform models compare
+        # time samples directly (the adapter's STFT'd targets cannot match
+        # waveform estimates); meta-tasnet additionally targets the mono
+        # downmix.
+        if args.model in ("conv-tasnet", "mrx"):
+            table = {"mse": MSELoss(dim=-1), "mae": MAELoss(dim=-1),
+                     "l1loss": MAELoss(dim=-1)}
+        elif args.model == "meta-tasnet":
+            from ..criterion.spectral import MonoTargetAdapter
+
+            table = {"mse": MonoTargetAdapter(MSELoss(dim=-1)),
+                     "mae": MonoTargetAdapter(MAELoss(dim=-1)),
+                     "l1loss": MonoTargetAdapter(MAELoss(dim=-1))}
+        else:
+            table = {"mse": spec_mse, "mae": spec_mae, "l1loss": spec_mae}
         if args.criterion in table:
             criterion = table[args.criterion]
 

@@ -106,11 +106,16 @@ class DataLoader:
                     for fut in pending:  # abandoned: drop unconsumed work
                         fut.cancel()
             except BaseException as exc:  # surface worker errors to the consumer
-                if not stop.is_set():
+                # Retry like the normal path: a single timed put could be
+                # dropped while the consumer is busy (e.g. inside a long jit
+                # compile), leaving the iterator blocked forever with neither
+                # an exception nor a sentinel enqueued.
+                while not stop.is_set():
                     try:
-                        q.put(exc, timeout=1.0)
+                        q.put(exc, timeout=0.1)
+                        break
                     except queue.Full:
-                        pass
+                        continue
                 return
             while not stop.is_set():
                 try:

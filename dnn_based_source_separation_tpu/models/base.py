@@ -127,6 +127,29 @@ def _rebuild_config(config):
     return out
 
 
+# Vision models (MLPMixer/MetaFormer/PoolFormer/ViT) moved the patch
+# embedding into a PatchEmbedding2d submodule, renaming the parameter path
+# embed/{kernel,bias} -> embed/proj/{kernel,bias}. Migrate old checkpoints.
+_VISION_EMBED_CLASSES = {"MLPMixer", "MetaFormer", "PoolFormer", "ViT"}
+
+
+def _migrate_vision_embed(state: Dict[str, Any]) -> Dict[str, Any]:
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if (k == "embed" and isinstance(v, dict) and "kernel" in v
+                    and "proj" not in v
+                    and not isinstance(v["kernel"], dict)):
+                out[k] = {"proj": v}
+            else:
+                out[k] = walk(v)
+        return out
+
+    return walk(state)
+
+
 def load_model(path: str) -> Tuple[Any, Any, Dict[str, Any]]:
     if os.path.isdir(path):  # orbax-checkpoint directory
         import json
@@ -138,11 +161,17 @@ def load_model(path: str) -> Tuple[Any, Any, Dict[str, Any]]:
         item = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
         cls = get_model_class(meta["model_class"])
         model = cls(**_rebuild_config(meta["config"]))
-        params = jax.tree_util.tree_map(jnp.asarray, item["params"])
+        state = item["params"]
+        if meta["model_class"] in _VISION_EMBED_CLASSES:
+            state = _migrate_vision_embed(state)
+        params = jax.tree_util.tree_map(jnp.asarray, state)
         return model, params, item.get("extra", {})
     with open(path, "rb") as f:
         blob = flax.serialization.msgpack_restore(f.read())
     cls = get_model_class(blob["model_class"])
     model = cls(**_rebuild_config(blob["config"]))
-    params = jax.tree_util.tree_map(jnp.asarray, blob["params"])
+    state = blob["params"]
+    if blob["model_class"] in _VISION_EMBED_CLASSES:
+        state = _migrate_vision_embed(state)
+    params = jax.tree_util.tree_map(jnp.asarray, state)
     return model, params, blob.get("extra", {})

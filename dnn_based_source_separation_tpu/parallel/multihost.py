@@ -22,17 +22,41 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _looks_like_multihost_env() -> bool:
+    """Heuristic: are we inside a TPU-pod / managed-cluster environment where
+    jax.distributed.initialize() can auto-detect its arguments?"""
+    import os
+
+    # Cloud TPU pod metadata lists every worker host; a single entry (as the
+    # single-chip runtime also sets) means single-host.
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hostnames.split(",") if h.strip()]) > 1:
+        return True
+    coordinator_markers = (
+        "MEGASCALE_COORDINATOR_ADDRESS",
+        "JAX_COORDINATOR_ADDRESS",    # generic/jax cluster bootstrap
+        "COORDINATOR_ADDRESS",
+    )
+    return any(os.environ.get(k) for k in coordinator_markers)
+
+
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
     """Bootstrap jax.distributed (idempotent; no-op for single-process runs).
 
-    On Cloud TPU pods all three arguments auto-detect from the metadata
-    server; elsewhere pass coordinator_address="host:port", num_processes
-    and process_id explicitly.
+    With no arguments: if the environment looks like a TPU pod / managed
+    cluster (metadata env vars present), jax.distributed.initialize() is
+    called with full auto-detection; otherwise this is a single-host no-op.
+    Elsewhere pass coordinator_address="host:port", num_processes and
+    process_id explicitly.
     """
     if num_processes in (None, 1) and coordinator_address is None:
-        return  # single host
+        if not _looks_like_multihost_env():
+            return  # single host
+        # Pod/cluster detected: let JAX auto-detect everything.
+        jax.distributed.initialize()
+        return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -343,10 +343,13 @@ def test_train_wsj0mix_orpit_cli(wsj0_corpus, tmp_path):
 @pytest.mark.parametrize("model,extra", [
     ("conv-tasnet", ["-N", "16", "-L", "8", "-HH", "16", "-B", "8", "-Sc", "8",
                      "-R", "1", "-X", "2"]),
+    # --criterion on the waveform models exercises the per-output-domain
+    # override table (advisor round-2: the spectrogram adapter crashed here).
     ("mrx", ["--hidden_channels", "8", "--num_layers", "1",
-             "--mrx_n_fft", "64,128", "--hop_length", "32"]),
+             "--mrx_n_fft", "64,128", "--hop_length", "32",
+             "--criterion", "mse"]),
     ("meta-tasnet", ["-N", "16", "-L", "8", "-HH", "8", "-B", "8", "-Sc", "8",
-                     "-R", "1", "-X", "1"]),
+                     "-R", "1", "-X", "1", "--criterion", "mae"]),
     ("hrnet", ["--target", "vocals", "--hrnet_hidden", "4,8",
                "--n_fft", "64", "--hop_length", "32"]),
     ("cunet", ["--cunet_channels", "2,4,8", "--cunet_control_channels", "3,8",

@@ -58,3 +58,28 @@ def test_multihost_helpers_single_process_equivalence():
 
     tree = multihost.shard_global_batch(mesh, {"a": x[sl], "b": x[sl] * 2})
     np.testing.assert_array_equal(np.asarray(tree["b"]), x * 2)
+
+
+def test_multihost_initialize_pod_autodetect(monkeypatch):
+    """Advisor round-2 low: on a TPU pod (metadata env vars present) a bare
+    initialize() must reach jax.distributed.initialize, not silently no-op."""
+    import jax
+
+    from dnn_based_source_separation_tpu.parallel import multihost
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append((a, k)))
+    # Clean env: bare call is a single-host no-op.
+    for k in ("TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID", "JAX_COORDINATOR_ADDRESS",
+              "MEGASCALE_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(k, raising=False)
+    multihost.initialize()
+    assert calls == []
+    # Pod marker present: auto-detecting initialize() is invoked.
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "w0,w1")
+    multihost.initialize()
+    assert calls == [((), {})]
+    # Explicit args still pass through.
+    multihost.initialize("h:1234", 2, 0)
+    assert calls[-1][1]["num_processes"] == 2

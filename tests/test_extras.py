@@ -59,3 +59,26 @@ def test_vision_models():
         vars_ = model.init(jax.random.PRNGKey(0), x)
         y = model.apply(vars_, x)
         assert y.shape == (2, 3)
+
+
+def test_vision_embed_checkpoint_migration():
+    """Advisor round-2 low: PatchEmbedding2d moved the kernel under
+    embed/proj/*; old flax param trees (embed/kernel) must migrate."""
+    from flax.core import unfreeze
+    from flax.serialization import from_state_dict, to_state_dict
+
+    from dnn_based_source_separation_tpu.models.base import _migrate_vision_embed
+
+    model = MLPMixer(patch_size=(4, 4), dim=8, depth=1, tokens_hidden=4,
+                     channels_hidden=16, num_classes=3)
+    x = jnp.asarray(np.random.default_rng(4).standard_normal((2, 16, 16, 1)), jnp.float32)
+    vars_ = model.init(jax.random.PRNGKey(0), x)
+    y_ref = model.apply(vars_, x)
+
+    # Forge the pre-rename layout: hoist embed/proj/* up to embed/*.
+    state = to_state_dict(unfreeze(vars_))
+    state["params"]["embed"] = state["params"]["embed"]["proj"]
+    migrated = _migrate_vision_embed(state)
+    restored = from_state_dict(vars_, migrated)
+    y = model.apply(restored, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref))

@@ -1165,3 +1165,44 @@ def convert_mrx(state_dict: Mapping, config: Mapping) -> Dict:
                 params[ours] = bp
                 stats[ours] = bs
     return {"params": params, "batch_stats": stats}
+
+
+def convert_densenet(state_dict: Mapping, config: Mapping) -> Dict:
+    """Reference plain DenseNet (src/models/densenet.py:11) -> flax variables.
+
+    Layout: preprocess 1x1 conv, then per block b: num_layers[b] DenseLayers
+    (norm2d1/bottleneck_conv2d/norm2d2/conv2d) and a Transition2d
+    (norm2d/conv2d).
+    """
+    num_blocks = int(config.get("num_blocks", 3))
+    num_layers = config.get("num_layers", [2, 3, 4])
+    if isinstance(num_layers, (list, tuple)):
+        num_layers = [int(v) for v in num_layers]
+    else:
+        num_layers = [int(num_layers)] * num_blocks
+
+    params: Dict = {"preprocess": _conv2d_params(state_dict, "preprocess")}
+    stats: Dict = {}
+    for b in range(num_blocks):
+        blk_p: Dict = {}
+        blk_s: Dict = {}
+        for l in range(num_layers[b]):
+            ref = f"net.{b}.net.{l}"
+            n1p, n1s = _bn_params(state_dict, f"{ref}.norm2d1")
+            n2p, n2s = _bn_params(state_dict, f"{ref}.norm2d2")
+            blk_p[f"layer{l}"] = {
+                "norm2d1": n1p,
+                "bottleneck_conv2d": _conv2d_params(state_dict, f"{ref}.bottleneck_conv2d"),
+                "norm2d2": n2p,
+                "conv2d": _conv2d_params(state_dict, f"{ref}.conv2d"),
+            }
+            blk_s[f"layer{l}"] = {"norm2d1": n1s, "norm2d2": n2s}
+        tp, ts = _bn_params(state_dict, f"net.{b}.transition2d.norm2d")
+        blk_p["transition2d"] = {
+            "norm2d": tp,
+            "conv2d": _conv2d_params(state_dict, f"net.{b}.transition2d.conv2d"),
+        }
+        blk_s["transition2d"] = {"norm2d": ts}
+        params[f"block{b}"] = blk_p
+        stats[f"block{b}"] = blk_s
+    return {"params": params, "batch_stats": stats}

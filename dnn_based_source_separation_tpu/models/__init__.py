@@ -13,6 +13,7 @@ from .xumx import CrossNetOpenUnmix
 from .danet import DANet, FixedAttractorDANet
 from .adanet import ADANet
 from .deep_clustering import DeepEmbedding, ChimeraNet, DeepEmbeddingPlus
+from .densenet import DenseNet
 from .m_densenet import MDenseNet
 from .mm_densenet import MMDenseNet, ParallelMMDenseNet, TimeDomainWrapper
 from .mm_dense_rnn import MMDenseRNN, MMDenseLSTM, ParallelMMDenseLSTM

@@ -82,3 +82,30 @@ def test_parallel_mmdensenet_stems():
     vars_ = model.init(jax.random.PRNGKey(0), x[:, None])
     y = model.apply(vars_, x[:, None])
     assert y.shape == (1, 2, 1, 16, 8)
+
+
+def test_plain_densenet_shapes_and_train_mode():
+    """Standalone image-style DenseNet (reference src/models/densenet.py:11):
+    output channels follow the (num_features + n*k)//2 transition rule and
+    spatial dims halve per block; BN stats update in train mode."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dnn_based_source_separation_tpu.models import DenseNet
+
+    model = DenseNet(in_channels=3, num_features=4, growth_rate=8,
+                     kernel_size=(3, 5), num_blocks=3, num_layers=[2, 3, 4],
+                     hidden_channels=16)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 3, 16, 32)),
+                    jnp.float32)
+    vars_ = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(vars_, x)
+    # channels: 4 -> (4+16)//2=10 -> (10+24)//2=17 -> (17+32)//2=24
+    assert y.shape == (2, 24, 2, 4)
+    y2, mutated = model.apply(vars_, x, train=True, mutable=["batch_stats"])
+    assert y2.shape == y.shape
+    old = jax.tree_util.tree_leaves(vars_["batch_stats"])
+    new = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(old, new))
+    assert model.num_parameters(vars_["params"]) > 0

@@ -597,3 +597,50 @@ def test_build_from_pretrained_layout(reference_src, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         build_from_pretrained(task="musdb18", root=str(tmp_path))
+
+
+def test_densenet_forward_parity(reference_src):
+    """Plain image-style DenseNet (reference src/models/densenet.py:11),
+    including its keep-spatial-size padding rule and transitions."""
+    from models.densenet import DenseNet as RefDenseNet
+
+    from dnn_based_source_separation_tpu.hub.torch_convert import convert_densenet
+    from dnn_based_source_separation_tpu.models import DenseNet
+
+    torch.manual_seed(7)
+    kwargs = dict(in_channels=3, num_features=4, growth_rate=8,
+                  kernel_size=(3, 5), stride=(1, 1), hidden_channels=16,
+                  num_blocks=3, num_layers=[2, 3, 4])
+    ref = RefDenseNet(**kwargs).eval()
+    x = torch.randn(2, 3, 16, 32)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+
+    model = DenseNet(**kwargs)
+    params = _to_jax(convert_densenet(dict(ref.state_dict()), kwargs))
+    ours = model.apply(params, jnp.asarray(x.numpy()))
+    assert ours.shape == expected.shape
+    assert _max_err(ours, expected) < ATOL
+
+
+def test_densenet_strided_layer_parity(reference_src):
+    """stride=(2,2) exercises the reference's spatial-size-preserving pad."""
+    from models.densenet import DenseNet as RefDenseNet
+
+    from dnn_based_source_separation_tpu.hub.torch_convert import convert_densenet
+    from dnn_based_source_separation_tpu.models import DenseNet
+
+    torch.manual_seed(8)
+    kwargs = dict(in_channels=2, num_features=4, growth_rate=4,
+                  kernel_size=(3, 3), stride=(2, 2), hidden_channels=8,
+                  num_blocks=2, num_layers=2)
+    ref = RefDenseNet(**kwargs).eval()
+    x = torch.randn(1, 2, 12, 20)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+
+    model = DenseNet(**kwargs)
+    params = _to_jax(convert_densenet(dict(ref.state_dict()), kwargs))
+    ours = model.apply(params, jnp.asarray(x.numpy()))
+    assert ours.shape == expected.shape
+    assert _max_err(ours, expected) < ATOL

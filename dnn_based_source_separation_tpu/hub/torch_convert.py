@@ -1056,6 +1056,10 @@ def _dense_rnn_block_params(state_dict: Mapping, prefix: str, depth: int,
     if hidden <= 0:
         p, s = _dense_block_params(state_dict, prefix, depth)
         return {"dense_block": p}, {"dense_block": s}
+    if depth == 0:
+        # Pure RNNBlock bottleneck (reference m_dense_rnn.py:75-81): flat
+        # {bottleneck_conv2d, rnn, linear} and no dense path at all.
+        return {"rnn_block": _frame_rnn_params(state_dict, prefix, causal)}, {}
     p, s = _dense_block_params(state_dict, f"{prefix}.dense_block", depth)
     params = {"dense_block": p, "rnn_block": _frame_rnn_params(state_dict, prefix, causal)}
     return params, {"dense_block": s}

@@ -67,6 +67,17 @@ class DenseRNNBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # depth == 0 with an RNN: the reference builds a pure RNNBlock
+        # (m_dense_rnn.py:75-81, dense_rnn.py:15) — rnn output only, no
+        # dense path, out_channels = 1. The MMDenseLSTM paper config uses
+        # this for the high band's bottleneck (hidden [0,0,4,0,0], depth
+        # [1,1,0,1,1]).
+        eff_depth = (len(self.growth_rate)
+                     if isinstance(self.growth_rate, (list, tuple))
+                     else self.depth)
+        if eff_depth == 0 and self.hidden_channels > 0:
+            return FrameRNN(self.hidden_channels, self.rnn_type, self.causal,
+                            name="rnn_block")(x)
         dense = DenseBlock(
             self.growth_rate, self.kernel_size, depth=self.depth,
             dilated=self.dilated, norm=self.norm, nonlinear=self.nonlinear,

@@ -644,3 +644,40 @@ def test_densenet_strided_layer_parity(reference_src):
     ours = model.apply(params, jnp.asarray(x.numpy()))
     assert ours.shape == expected.shape
     assert _max_err(ours, expected) < ATOL
+
+
+def test_mm_dense_lstm_rnn_only_bottleneck_parity(reference_src):
+    """depth=0 + hidden>0 bottleneck = pure RNNBlock (reference
+    m_dense_rnn.py:75-81) — used by the paper config's high band."""
+    from models.mm_dense_lstm import MMDenseLSTM as RefMMDenseLSTM
+
+    from dnn_based_source_separation_tpu.hub.torch_convert import convert_mm_dense_rnn
+    from dnn_based_source_separation_tpu.models import MMDenseLSTM
+
+    torch.manual_seed(21)
+    band = lambda v: {"low": v, "full": v}
+    common = dict(
+        in_channels=2,
+        num_features=band(4),
+        growth_rate={"low": [2, 2, 0, 2, 2], "full": [2, 3, 2]},
+        hidden_channels={"low": [0, 0, 3, 0, 0], "full": [0, 2, 0]},
+        kernel_size=band(3),
+        bands=["low"], sections=[32],
+        scale=band((2, 2)),
+        dilated={"low": [False] * 5, "full": [False] * 3},
+        norm={"low": [True] * 5, "full": [True] * 3},
+        nonlinear={"low": ["relu"] * 5, "full": ["relu"] * 3},
+        depth={"low": [1, 1, 0, 1, 1], "full": [2, 2, 2]},
+        causal=False,
+        growth_rate_final=3, hidden_channels_final=0,
+        kernel_size_final=3, depth_final=2,
+    )
+    ref = RefMMDenseLSTM(**{**common, "rnn_position": "parallel"}).eval()
+    x = torch.rand(1, 2, 32, 16)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+
+    model = MMDenseLSTM(**common, rnn_position="parallel")
+    variables = _to_jax(convert_mm_dense_rnn(dict(ref.state_dict()), ref.get_config()))
+    ours = model.apply(variables, jnp.asarray(x.numpy()))
+    assert _max_err(ours, expected) < ATOL

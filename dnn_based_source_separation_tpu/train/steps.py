@@ -67,6 +67,7 @@ def make_train_step(
     train_kwargs: Optional[dict] = None,
     compute_dtype=None,
     with_dropout_rng: bool = False,
+    donate: bool = True,
 ) -> Callable:
     """Build jitted (variables, opt_state, mixture, sources) ->
     (variables, opt_state, loss).
@@ -137,8 +138,9 @@ def make_train_step(
         def train_step(variables, opt_state, mixture, sources):
             return _step_core(variables, opt_state, mixture, sources)
 
+    donate_kw = {"donate_argnums": (0, 1)} if donate else {}
     if mesh is None:
-        return jax.jit(train_step, donate_argnums=(0, 1))
+        return jax.jit(train_step, **donate_kw)
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
@@ -152,7 +154,7 @@ def make_train_step(
         train_step,
         in_shardings=in_sh,
         out_shardings=out_sh,
-        donate_argnums=(0, 1),
+        **donate_kw,
     )
 
 

@@ -44,6 +44,10 @@ class TrainerConfig:
     sample_rate: int = 8000
     log_interval: int = 100
     profile_dir: Optional[str] = None  # jax.profiler trace of epoch 0
+    # Stop after this many wall-clock seconds (checked at epoch boundaries;
+    # last.ckpt is still written, so --continue_from resumes cleanly). Used
+    # by the sustained-training soak (scripts/bench_train.py --sustained).
+    time_budget_sec: Optional[float] = None
 
 
 class Trainer:
@@ -72,6 +76,7 @@ class Trainer:
         self.config = config
         self.mesh = mesh
 
+        self.last_epoch_stats = None  # pipeline stats of the latest train epoch
         self.model_dir = os.path.join(config.exp_dir, "model")
         self.loss_dir = os.path.join(config.exp_dir, "loss")
         self.sample_dir = os.path.join(config.exp_dir, "sample")
@@ -116,6 +121,7 @@ class Trainer:
     # -- epoch loop -------------------------------------------------------
     def run(self):
         cfg = self.config
+        run_start = time.time()
         for epoch in range(self.start_epoch, cfg.epochs):
             start = time.time()
             train_loss = self.run_one_epoch_train(epoch)
@@ -152,6 +158,11 @@ class Trainer:
             self.draw_loss_curve()
             if stop:
                 break
+            if (cfg.time_budget_sec is not None
+                    and time.time() - run_start >= cfg.time_budget_sec):
+                print(f"Time budget reached ({cfg.time_budget_sec:.0f} s); "
+                      "stopping after checkpoint.", flush=True)
+                break
 
     def run_one_epoch_train(self, epoch: int) -> float:
         cfg = self.config
@@ -174,7 +185,21 @@ class Trainer:
 
         sharding = data_sharding(self.mesh) if self.mesh is not None else None
         batches = prefetch_to_device(self.train_loader, size=2, sharding=sharding)
-        for idx, batch in enumerate(batches):
+        # Pipeline instrumentation: time spent blocked fetching the next
+        # staged batch (host pipeline + device_put backpressure) vs total
+        # iteration time. The step dispatch itself is async, so fetch time
+        # is where a too-slow loader shows up.
+        fetch_seconds = 0.0
+        iter_seconds: list = []
+        it = iter(batches)
+        idx = -1
+        while True:
+            t0 = time.perf_counter()
+            batch = next(it, None)
+            if batch is None:
+                break
+            fetch_seconds += time.perf_counter() - t0
+            idx += 1
             if self.dropout_rng is not None:
                 self.params, self.opt_state, loss, self.dropout_rng = self.train_step(
                     self.params, self.opt_state, *batch, self.dropout_rng
@@ -183,6 +208,7 @@ class Trainer:
                 self.params, self.opt_state, loss = self.train_step(
                     self.params, self.opt_state, *batch
                 )
+            iter_seconds.append(time.perf_counter() - t0)
             audio_seconds += batch[0].shape[0] * batch[0].shape[-1] / cfg.sample_rate
             device_losses.append(loss)
             n_batches += 1
@@ -205,9 +231,20 @@ class Trainer:
         total = float(jnp.sum(jnp.stack(device_losses))) if device_losses else 0.0
         elapsed = time.time() - epoch_start
         if audio_seconds and elapsed > 0:
+            its = np.sort(np.asarray(iter_seconds)) if iter_seconds else np.zeros(1)
+            self.last_epoch_stats = {
+                "audio_sec_per_sec": audio_seconds / elapsed,
+                "fetch_frac": fetch_seconds / elapsed,
+                "iter_p50_ms": float(its[len(its) // 2]) * 1e3,
+                "iter_p99_ms": float(its[min(len(its) - 1, int(len(its) * 0.99))]) * 1e3,
+                "n_batches": n_batches,
+            }
             print(
                 f"[Epoch {epoch + 1}] training throughput: "
-                f"{audio_seconds / elapsed:.1f} audio-seconds/sec",
+                f"{audio_seconds / elapsed:.1f} audio-seconds/sec "
+                f"(iter p50 {self.last_epoch_stats['iter_p50_ms']:.1f} ms, "
+                f"p99 {self.last_epoch_stats['iter_p99_ms']:.1f} ms, "
+                f"loader-stall {self.last_epoch_stats['fetch_frac']:.1%})",
                 flush=True,
             )
         return total / max(n_batches, 1)

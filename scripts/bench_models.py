@@ -162,6 +162,110 @@ def main():
     rows.append(("D3Net vocals (paper cfg, bf16)", B * sec_per_patch / (ms / 1e3),
                  model_mfu(lambda p, x: d3.apply(p, x), vars_, xs[0], ms)))
 
+    # ---- round 3: full-zoo coverage (no flagship family ships untimed) ----
+    root_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+
+    def bench_spec(model, B, F, S, sec_per_frame, dtype=jnp.bfloat16, iters=2,
+                   has_stats=True):
+        """(B, C, F, S) amplitude-spectrogram models; RTF in audio-sec/s."""
+        rng2 = np.random.default_rng(7)
+        xs = jnp.asarray(np.abs(rng2.standard_normal((iters, B, 2, F, S))), dtype)
+        vars_ = model.init(jax.random.PRNGKey(0), jnp.zeros((B, 2, F, S), jnp.float32))
+        if dtype == jnp.bfloat16:
+            vars_ = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, vars_)
+        ms = amortized_ms(model.apply, vars_, xs)
+        return B * S * sec_per_frame / (ms / 1e3), model_mfu(model.apply, vars_, xs[0], ms)
+
+    from dnn_based_source_separation_tpu.utils.config import (
+        build_mmdenselstm_from_config, build_mmdensenet_from_config)
+
+    # MMDenseNet paper cfg: 2048-FFT (1025 bins), hop 1024 @ 44.1 kHz.
+    mmdn = build_mmdensenet_from_config(
+        os.path.join(root_dir, "egs/musdb18/mm-densenet/config/paper.yaml"))
+    rows.append(("MMDenseNet (paper cfg, bf16)",
+                 *bench_spec(mmdn, 2, 1025, 256, 1024 / 44100)))
+
+    # MMDenseLSTM paper cfg: 4096-FFT (2049 bins), hop 2048 @ 44.1 kHz.
+    mmdl = build_mmdenselstm_from_config(
+        os.path.join(root_dir, "egs/musdb18/mm-dense-lstm/config/paper.yaml"))
+    rows.append(("MMDenseLSTM (paper cfg, bf16)",
+                 *bench_spec(mmdl, 2, 2049, 128, 2048 / 44100)))
+
+    # HRNet recipe cfg: 4096-FFT, hop 1024 @ 44.1 kHz, per-target model.
+    from dnn_based_source_separation_tpu.models.hrnet import HRNet
+
+    hr = HRNet(in_channels=2, hidden_channels=(16, 32, 64))
+    rows.append(("HRNet (recipe, bf16)", *bench_spec(hr, 2, 2049, 192, 1024 / 44100)))
+
+    # MRX (cocktail-fork): waveform stereo 44.1 kHz, 3 STFT resolutions.
+    from dnn_based_source_separation_tpu.models.mrx import MultiResolutionCrossNet
+
+    mrx = MultiResolutionCrossNet(in_channels=2, hidden_channels=512, num_layers=3,
+                                  n_fft=(512, 1024, 2048), hop_length=256)
+    B, T, sr = 2, 4 * 44100, 44100
+    rng = np.random.default_rng(8)
+    xs = jnp.asarray(rng.standard_normal((2, B, 2, T)), jnp.bfloat16)
+    vars_ = mrx.init(jax.random.PRNGKey(0), jnp.zeros((B, 2, T), jnp.float32))
+    vars_ = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, vars_)
+    ms = amortized_ms(mrx.apply, vars_, xs)
+    rows.append(("MRX (recipe, bf16)", B * T / sr / (ms / 1e3),
+                 model_mfu(mrx.apply, vars_, xs[0], ms)))
+
+    # CUNet (FiLM-conditioned U-Net): 1024-FFT (513 bins), hop 768, patch 128.
+    from dnn_based_source_separation_tpu.models.cunet import ConditionedUNet2d
+
+    cu = ConditionedUNet2d(channels=(2, 16, 32, 64, 128, 256), kernel_size=(5, 5),
+                           stride=(2, 2), control_channels=(4, 16, 64),
+                           conditioning="film", masking=True)
+    B, F, S = 4, 513, 128
+    xs = jnp.asarray(np.abs(np.random.default_rng(9).standard_normal((4, B, 2, F, S))), jnp.bfloat16)
+    cond = jnp.asarray(np.eye(4, dtype=np.float32)[:B])
+    cu_apply = lambda p, x: cu.apply(p, x, cond)
+    vars_ = cu.init(jax.random.PRNGKey(0), jnp.zeros((B, 2, F, S), jnp.float32), cond)
+    vars_ = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, vars_)
+    ms = amortized_ms(cu_apply, vars_, xs)
+    rows.append(("CUNet (recipe, bf16)", B * S * 768 / 44100 / (ms / 1e3),
+                 model_mfu(cu_apply, vars_, xs[0], ms)))
+
+    # Meta-TasNet single stage (recipe: N440 L20 H160 B160 Sc160 X8 R3, 8 kHz).
+    from dnn_based_source_separation_tpu.models.meta_tasnet import MetaTasNet
+
+    meta = MetaTasNet(n_basis=440, kernel_size=20, sep_hidden_channels=160,
+                      sep_bottleneck_channels=160, sep_skip_channels=160,
+                      sep_num_blocks=3, sep_num_layers=8, n_sources=4)
+    rows.append(("Meta-TasNet (recipe stage, bf16)",
+                 *bench_waveform_model(meta, 4, 64000, 8000, jnp.bfloat16, iters=4)))
+
+    # Wavesplit (recipe cfg, 0.75 s segments @ 8 kHz, KMeans inference).
+    from dnn_based_source_separation_tpu.models.wavesplit import WaveSplit
+
+    ws = WaveSplit()
+    B, T = 4, 6000
+    xs = jnp.asarray(np.random.default_rng(10).standard_normal((4, B, 1, T)), jnp.bfloat16)
+    vars_ = ws.init(jax.random.PRNGKey(0), jnp.zeros((B, 1, T), jnp.float32))
+    vars_ = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, vars_)
+    ms = amortized_ms(ws.apply, vars_, xs)
+    rows.append(("Wavesplit (recipe, bf16)", B * T / 8000 / (ms / 1e3),
+                 model_mfu(ws.apply, vars_, xs[0], ms)))
+
+    # DANet (wsj0 recipe: 256-FFT/64-hop @ 8 kHz, KMeans inference path).
+    from dnn_based_source_separation_tpu.models.danet import DANet
+
+    da = DANet(n_bins=129)
+    B, F, S = 8, 129, 500  # 4 s per utterance
+    da_apply = lambda p, x: da.apply(p, x, n_sources=2)
+    xs = jnp.asarray(np.abs(np.random.default_rng(11).standard_normal((4, B, 1, F, S))), jnp.bfloat16)
+    vars_ = da.init(jax.random.PRNGKey(0), jnp.zeros((B, 1, F, S), jnp.float32), n_sources=2)
+    vars_ = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, vars_)
+    ms = amortized_ms(da_apply, vars_, xs)
+    rows.append(("DANet (recipe, KMeans inference, bf16)",
+                 B * S * 64 / 8000 / (ms / 1e3), model_mfu(da_apply, vars_, xs[0], ms)))
+
     lines = [
         "# Inference throughput (single TPU v5e chip)",
         "",

@@ -1,8 +1,14 @@
 """Streaming-inference latency benchmark (causal Conv-TasNet, single chip).
 
-Measures end-to-end per-block latency of the stateful chunk API
-(models/streaming.py) — host roundtrip included, which is the number a
-realtime caller sees. Usage: python scripts/bench_streaming.py
+Two measurements per hop size:
+  * host path: per-block latency of the stateful chunk API
+    (models/streaming.py) — host roundtrip included, which in THIS
+    environment is dominated by the remote tunnel's ~25-30 ms per call;
+  * on-device: a lax.scan chain of >=100 sequential chunk steps (carry =
+    rolling context buffer) in ONE dispatch, wall / steps — the true
+    per-block compute latency a locally-attached chip delivers
+    (round-2 verdict #8: measured, not inferred).
+Usage: python scripts/bench_streaming.py
 """
 from __future__ import annotations
 
@@ -33,10 +39,11 @@ def main():
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, sr), jnp.float32))
 
     rng = np.random.default_rng(0)
-    for hop_ms in (16, 32, 64):
+    context = 2 * sr
+    for hop_ms in (8, 16, 32, 64):
         hop = sr * hop_ms // 1000
         stream = StreamingSeparator(model, params, hop_samples=hop,
-                                    context_samples=2 * sr)
+                                    context_samples=context)
         block = (0.1 * rng.standard_normal((1, hop))).astype(np.float32)
         for _ in range(3):
             stream.process(block)  # compile + settle
@@ -46,9 +53,33 @@ def main():
             stream.process(block)
             ts.append(time.perf_counter() - s)
         lat = float(np.median(ts)) * 1e3
-        print(f"hop {hop_ms:3d} ms: {lat:6.2f} ms/block median "
-              f"({'realtime' if lat < hop_ms else 'NOT realtime'}, "
-              f"{hop_ms / lat:.1f}x margin)", flush=True)
+
+        # On-device chain: N sequential chunk steps in one dispatch. The
+        # carry is the rolling context buffer — each step depends on the
+        # previous one exactly as a realtime stream does.
+        N = 100
+        blocks = jnp.asarray(
+            0.1 * rng.standard_normal((N, 1, hop)), jnp.float32)
+
+        def chain(p, blocks):
+            def step(ctx, block):
+                x = jnp.concatenate([ctx, block], axis=-1)  # (1, ctx+hop)
+                est = model.apply(p, x[None])[0][..., -hop:]
+                return x[:, -context:], jnp.sum(est.astype(jnp.float32))
+            _, outs = jax.lax.scan(step, jnp.zeros((1, context), jnp.float32), blocks)
+            return outs[-1]
+
+        chain_jit = jax.jit(chain)
+        float(chain_jit(params, blocks))  # compile
+        ts = []
+        for _ in range(4):
+            s = time.perf_counter()
+            float(chain_jit(params, blocks))
+            ts.append(time.perf_counter() - s)
+        dev_lat = float(np.median(ts)) / N * 1e3
+        print(f"hop {hop_ms:3d} ms: host {lat:6.2f} ms/block "
+              f"({hop_ms / lat:.1f}x margin) | on-device {dev_lat:6.2f} ms/block "
+              f"({hop_ms / dev_lat:.1f}x realtime margin)", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,167 @@
+"""D3Net stage-timing probe (round-2 verdict #3: give the 2-D conv family
+the Conv-TasNet treatment).
+
+Decomposes the paper-config D3Net forward (2.9% MFU in round 2) into
+measured parts on the real chip:
+  * whole model (baseline, bf16 + f32);
+  * per-band backbones (low / middle / full) and the final D2 head;
+  * one representative D2Block at each encoder scale;
+  * structural ablations of the dense block: no-BN, no-nonlinear,
+    conv-only chain at the same shapes, and a lane-aligned variant
+    (channels padded to 128) to separate MXU-underutilization from
+    VPU/layout overhead.
+
+Usage: python scripts/probe_d3net.py  (writes a table to stdout)
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PEAK = 197e12  # v5e bf16
+
+
+def timed(fn, *args, iters=8):
+    """Median ms of fn(*args) amortized over a scanned chain."""
+    many = jax.jit(lambda a: jax.lax.scan(
+        lambda c, _: (c + jnp.sum(fn(*a).astype(jnp.float32)), None),
+        jnp.float32(0.0), None, length=iters)[0])
+    float(many(args))
+    ts = []
+    for _ in range(4):
+        s = time.perf_counter()
+        float(many(args))
+        ts.append(time.perf_counter() - s)
+    return float(np.median(ts)) / iters * 1e3
+
+
+def flops_of(fn, *args):
+    try:
+        c = jax.jit(fn).lower(*args).compile()
+        return float(c.cost_analysis()["flops"])
+    except Exception:
+        return float("nan")
+
+
+def report(name, ms, fl=None):
+    mfu = f"{fl / (ms / 1e3) / PEAK:6.1%}" if fl and np.isfinite(fl) else "   -  "
+    print(f"{name:<52} {ms:8.2f} ms  MFU {mfu}", flush=True)
+
+
+def main():
+    from dnn_based_source_separation_tpu.models.d3net import D2Block, D3NetBackbone
+    from dnn_based_source_separation_tpu.utils.config import build_d3net_from_config
+
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    cfg_path = os.path.join(root, "egs/musdb18/d3net/config/vocals.yaml")
+    rng = np.random.default_rng(0)
+    B, F, S = 2, 2049, 256
+
+    d3 = build_d3net_from_config(cfg_path)
+
+    def cast(v):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, v)
+
+    x = jnp.asarray(np.abs(rng.standard_normal((B, 2, F, S))), jnp.bfloat16)
+    v = d3.init(jax.random.PRNGKey(0), jnp.zeros((B, 2, F, S), jnp.float32))
+    vb = cast(v)
+    ms = timed(lambda a: d3.apply(vb, a), x, iters=4)
+    report("D3Net full (paper vocals, bf16)", ms, flops_of(lambda a: d3.apply(vb, a), x))
+    xf = x.astype(jnp.float32)
+    ms32 = timed(lambda a: d3.apply(v, a), xf, iters=4)
+    report("D3Net full (paper vocals, f32)", ms32)
+
+    # Per-band backbones at their real input shapes.
+    import yaml
+
+    cfg = yaml.safe_load(open(cfg_path))
+    sections = {b: cfg[b]["sections"] for b in cfg["bands"]}
+    shapes = {"low": sections.get("low", 256), "middle": sections.get("middle", 1344)}
+    total = sum(shapes.values())
+    for band, bins in list(shapes.items()) + [("full", total)]:
+        c = cfg[band]
+        bb = D3NetBackbone(
+            num_features=c["num_features"], growth_rate=c["growth_rate"],
+            kernel_size=c["kernel_size"], scale=(2, 2),
+            num_d2blocks=c["num_d2blocks"], dilated=c["dilated"],
+            norm=c["norm"], nonlinear=c["nonlinear"], depth=c["depth"],
+        )
+        xb = jnp.asarray(np.abs(rng.standard_normal((B, bins, S, 2))), jnp.bfloat16)
+        vv = cast(bb.init(jax.random.PRNGKey(0), jnp.zeros((B, bins, S, 2), jnp.float32)))
+        ms = timed(lambda a: bb.apply(vv, a), xb, iters=4)
+        report(f"  backbone[{band}] ({bins} bins)", ms,
+               flops_of(lambda a: bb.apply(vv, a), xb))
+
+    # One D2Block at encoder-stage shapes (low band stage 0: 256 bins).
+    low = cfg["low"]
+    for stage, (bins, frames) in enumerate([(256, 256), (128, 128), (64, 64)]):
+        blk = D2Block(growth_rate=low["growth_rate"][stage] if False else 16,
+                      kernel_size=3, dilated=True, norm=True, nonlinear="relu",
+                      depth=low["depth"][stage])
+        xb = jnp.asarray(np.abs(rng.standard_normal((B, bins, frames, 32))), jnp.bfloat16)
+        vv = cast(blk.init(jax.random.PRNGKey(0), jnp.zeros((B, bins, frames, 32), jnp.float32)))
+        ms = timed(lambda a: blk.apply(vv, a), xb)
+        report(f"  D2Block g16 d{low['depth'][stage]} @{bins}x{frames}x32", ms,
+               flops_of(lambda a: blk.apply(vv, a), xb))
+
+    # Ablations on a representative D2Block (g16 depth5 @256x256x32).
+    import flax.linen as nn
+
+    class ConvChain(nn.Module):
+        """Same conv shapes as the dense block (layer i: growth-channel input
+        -> sum(growth[i:]) output, dilation 2^i), but a plain feed-forward
+        chain: no BN, no ReLU, no channel split/accumulate."""
+        depth: int = 5
+        growth: int = 16
+
+        @nn.compact
+        def __call__(self, x):
+            gr = [self.growth] * self.depth
+            for i in range(self.depth):
+                d = 2 ** i
+                y = nn.Conv(sum(gr[i:]), (3, 3), kernel_dilation=(d, d),
+                            padding="SAME", name=f"c{i}")(x)
+                x = y[..., : self.growth]  # next layer reads growth channels
+            return y
+
+    bins = frames = 256
+    xb = jnp.asarray(np.abs(rng.standard_normal((B, bins, frames, 32))), jnp.bfloat16)
+
+    blk_nobn = D2Block(growth_rate=16, kernel_size=3, dilated=True, norm=False,
+                       nonlinear="relu", depth=5)
+    vv = cast(blk_nobn.init(jax.random.PRNGKey(0), jnp.zeros((B, bins, frames, 32), jnp.float32)))
+    report("  ablation: no-BN D2Block", timed(lambda a: blk_nobn.apply(vv, a), xb))
+
+    blk_nonl = D2Block(growth_rate=16, kernel_size=3, dilated=True, norm=False,
+                       nonlinear=False, depth=5)
+    vv = cast(blk_nonl.init(jax.random.PRNGKey(0), jnp.zeros((B, bins, frames, 32), jnp.float32)))
+    report("  ablation: conv+split only (no BN/ReLU)",
+           timed(lambda a: blk_nonl.apply(vv, a), xb))
+
+    chain = ConvChain()
+    vv = cast(chain.init(jax.random.PRNGKey(0), jnp.zeros((B, bins, frames, 32), jnp.float32)))
+    report("  ablation: bare conv chain (same shapes)",
+           timed(lambda a: chain.apply(vv, a), xb),
+           flops_of(lambda a: chain.apply(vv, a), xb))
+
+    # Lane-aligned comparison: one 3x3 conv at C=32->66 (paper-ish) vs 128->128
+    for cin, cout in ((32, 66), (128, 128)):
+        conv = nn.Conv(cout, (3, 3), padding="SAME")
+        xc = jnp.asarray(rng.standard_normal((B, bins, frames, cin)), jnp.bfloat16)
+        vv = cast(conv.init(jax.random.PRNGKey(0), jnp.zeros((B, bins, frames, cin), jnp.float32)))
+        ms = timed(lambda a: conv.apply(vv, a), xc)
+        report(f"  single 3x3 conv {cin}->{cout} @256x256", ms,
+               flops_of(lambda a: conv.apply(vv, a), xc))
+
+
+if __name__ == "__main__":
+    main()

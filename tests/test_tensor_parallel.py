@@ -68,3 +68,30 @@ def test_tp_composes_with_jit_and_data_sharding(mesh2d):
     np.testing.assert_allclose(
         np.asarray(f(x, *args)), np.asarray(_dense_ref(x, *args)),
         rtol=2e-5, atol=2e-5)
+
+
+def test_tp_openunmix_forward_matches_plain():
+    """TP-sharded UMX transform blocks inside the REAL model forward
+    (round-2 verdict #6): TPOpenUnmix loads the plain model's variables
+    verbatim and must reproduce its output on the (data, model) mesh."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dnn_based_source_separation_tpu.models import OpenUnmix
+    from dnn_based_source_separation_tpu.parallel.mesh import make_mesh
+    from dnn_based_source_separation_tpu.parallel.tensor import TPOpenUnmix
+
+    mesh = make_mesh(8, axis_names=("data", "model"), shape=(2, 4))
+    kwargs = dict(in_channels=2, hidden_channels=8, num_layers=2,
+                  n_bins=33, max_bin=24, causal=False)
+    plain = OpenUnmix(dropout=0.0, **kwargs)
+    x = jnp.asarray(np.abs(np.random.default_rng(0).standard_normal((2, 2, 33, 12))),
+                    jnp.float32)
+    variables = plain.init(jax.random.PRNGKey(0), x)
+    expected = plain.apply(variables, x)
+
+    tp = TPOpenUnmix(mesh=mesh, **kwargs)
+    ours = jax.jit(lambda v, a: tp.apply(v, a))(variables, x)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(expected),
+                               atol=1e-5, rtol=1e-5)

@@ -331,3 +331,59 @@ def test_overfit_umx_spectrogram_to_convergence():
             first = float(loss)
     final = float(loss)
     assert final < first / 20, f"UMX overfit stalled: {first:.4f} -> {final:.4f}"
+
+
+def test_overfit_conv_tasnet_bf16_to_convergence():
+    """bf16-compute mixed-precision training must reach the same >20 dB
+    overfit bar as f32 (round-2 verdict #7: the advertised bf16 training
+    rows need convergence evidence, not just a smoke test). Master params,
+    loss and Adam state stay f32 (train/steps.py compute_dtype)."""
+    model = ConvTasNet(
+        n_basis=32, kernel_size=8, stride=4, enc_basis="trainable",
+        dec_basis="trainable", enc_nonlinear="relu",
+        sep_hidden_channels=32, sep_bottleneck_channels=16, sep_skip_channels=16,
+        sep_num_blocks=2, sep_num_layers=2, causal=False, n_sources=2,
+    )
+    ds = SyntheticMixtureDataset(n_items=4, samples=400)
+    mixture, sources = next(iter(DataLoader(ds, batch_size=4)))
+    mixture, sources = jnp.asarray(mixture), jnp.asarray(sources)
+
+    params = model.init(jax.random.PRNGKey(0), mixture)
+    opt = make_optimizer("adam", 5e-3, max_norm=5.0)
+    opt_state = opt.init(params["params"])
+    criterion = PIT1d(NegSISDR(), n_sources=2)
+    step = make_train_step(model, criterion, opt, compute_dtype=jnp.bfloat16)
+
+    for _ in range(600):
+        params, opt_state, loss = step(params, opt_state, mixture, sources)
+
+    sdri = _si_sdri(model, params, mixture, sources)
+    assert sdri > 20.0, f"bf16 overfit SI-SDRi only {sdri:.2f} dB (loss {float(loss):.2f})"
+
+
+def test_overfit_dprnn_tasnet_bf16_to_convergence():
+    """bf16 convergence through the scan-LSTM/segmentation path."""
+    from dnn_based_source_separation_tpu.models import DPRNNTasNet
+
+    model = DPRNNTasNet(
+        n_basis=32, kernel_size=4, stride=2, enc_basis="trainable",
+        dec_basis="trainable", enc_nonlinear="relu",
+        sep_bottleneck_channels=16, sep_hidden_channels=16,
+        sep_chunk_size=20, sep_hop_size=10, sep_num_blocks=2,
+        causal=False, n_sources=2,
+    )
+    ds = SyntheticMixtureDataset(n_items=4, samples=400)
+    mixture, sources = next(iter(DataLoader(ds, batch_size=4)))
+    mixture, sources = jnp.asarray(mixture), jnp.asarray(sources)
+
+    params = model.init(jax.random.PRNGKey(0), mixture)
+    opt = make_optimizer("adam", 5e-3, max_norm=5.0)
+    opt_state = opt.init(params["params"])
+    criterion = PIT1d(NegSISDR(), n_sources=2)
+    step = make_train_step(model, criterion, opt, compute_dtype=jnp.bfloat16)
+
+    for _ in range(600):
+        params, opt_state, loss = step(params, opt_state, mixture, sources)
+
+    sdri = _si_sdri(model, params, mixture, sources)
+    assert sdri > 20.0, f"bf16 overfit SI-SDRi only {sdri:.2f} dB (loss {float(loss):.2f})"

@@ -28,8 +28,10 @@ def amortized_ms(apply_fn, params, xs):
             jnp.float32(0.0), xs,
         )[0]
     )
+    print("  [stage] scan compile...", flush=True)
     float(many(params, xs))
     float(many(params, xs))
+    print("  [stage] scan timing...", flush=True)
     ts = []
     for _ in range(4):
         s = time.perf_counter()
@@ -58,6 +60,7 @@ def model_mfu(apply_fn, params, x, ms):
 def bench_waveform_model(model, B, T, sr, dtype, iters=8):
     rng = np.random.default_rng(0)
     xs = jnp.asarray(rng.standard_normal((iters, B, 1, T)), dtype)
+    print(f"  [stage] init {type(model).__name__}...", flush=True)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((B, 1, T), jnp.float32))
     if dtype == jnp.bfloat16:
         params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)

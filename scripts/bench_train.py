@@ -300,7 +300,7 @@ def soak_orchestrate(args):
     import json
     import re
 
-    stats, resumed_epoch = [], None
+    stats, resumed_epoch, final = [], None, None
     for log in (log_a, log_b):
         for line in open(log):
             m = re.search(r"training throughput: ([0-9.]+) audio-seconds/sec", line)

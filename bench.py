@@ -47,10 +47,16 @@ def main():
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((BATCH, 1, T), jnp.float32))
     params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
 
-    def step(carry, x):
-        return carry + jnp.sum(model.apply(params, x).astype(jnp.float32)), None
-
-    many = jax.jit(lambda p, xs: jax.lax.scan(step, jnp.float32(0.0), xs)[0])
+    # params must flow through the jit ARGUMENT (p), not the closure —
+    # closed-over arrays are baked into the graph as constants, which both
+    # risks OOMing the remote compile helper and measurably slows the
+    # compiled scan (~30% on this model).
+    many = jax.jit(
+        lambda p, xs: jax.lax.scan(
+            lambda c, x: (c + jnp.sum(model.apply(p, x).astype(jnp.float32)), None),
+            jnp.float32(0.0), xs,
+        )[0]
+    )
     for _ in range(WARMUP):
         float(many(params, xs))
 
@@ -60,7 +66,20 @@ def main():
         float(many(params, xs))
         times.append(time.perf_counter() - start)
 
-    per_batch = float(np.median(times)) / ITERS
+    # Fixed per-blocking-call harness cost (dispatch + scalar fetch; ~25-30 ms
+    # through the remote tunnel, ~0 on a locally-attached chip) — subtracted
+    # so the number reflects on-device compute.
+    trivial = jax.jit(lambda s: s * 1.0 + 1.0)
+    float(trivial(jnp.float32(0.0)))
+    floors = []
+    for _ in range(20):
+        start = time.perf_counter()
+        float(trivial(jnp.float32(0.0)))
+        floors.append(time.perf_counter() - start)
+    floor = float(np.median(floors))
+
+    per_batch = max((float(np.median(times)) - floor) / ITERS,
+                    0.05 * float(np.median(times)) / ITERS)
     rtf = BATCH * SECONDS / per_batch
 
     # MFU: analytic FLOPs of one forward (XLA cost model) over chip peak.

@@ -21,6 +21,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_FLOOR_MS = None
+
+
+def harness_floor_ms():
+    """Fixed per-blocking-call cost of this harness (dispatch + scalar fetch;
+    ~25-30 ms through the remote tunnel, ~0 on a locally-attached chip).
+    Subtracted as floor/iters from every amortized row so reported times are
+    on-device compute, not host-fetch overhead."""
+    global _FLOOR_MS
+    if _FLOOR_MS is None:
+        f = jax.jit(lambda s: s * 1.0 + 1.0)
+        x = jnp.float32(0.0)
+        float(f(x))
+        ts = []
+        for _ in range(20):
+            s = time.perf_counter()
+            float(f(x))
+            ts.append(time.perf_counter() - s)
+        _FLOOR_MS = float(np.median(ts)) * 1e3
+        print(f"  [stage] harness per-call floor: {_FLOOR_MS:.1f} ms", flush=True)
+    return _FLOOR_MS
+
+
 def amortized_ms(apply_fn, params, xs):
     many = jax.jit(
         lambda p, xs: jax.lax.scan(
@@ -37,7 +60,8 @@ def amortized_ms(apply_fn, params, xs):
         s = time.perf_counter()
         float(many(params, xs))
         ts.append(time.perf_counter() - s)
-    return float(np.median(ts)) / xs.shape[0] * 1e3
+    raw = float(np.median(ts)) / xs.shape[0] * 1e3
+    return max(raw - harness_floor_ms() / xs.shape[0], 0.05 * raw)
 
 
 PEAK_FLOPS = {
@@ -83,8 +107,8 @@ def main():
         sep_skip_channels=128, sep_num_blocks=3, sep_num_layers=8,
         causal=False, n_sources=2,
     )
-    rows.append(("Conv-TasNet (paper, f32)", *bench_waveform_model(conv, 8, 32000, 8000, jnp.float32)))
-    rows.append(("Conv-TasNet (paper, bf16)", *bench_waveform_model(conv, 8, 32000, 8000, jnp.bfloat16)))
+    rows.append(("Conv-TasNet (paper, f32)", *bench_waveform_model(conv, 8, 32000, 8000, jnp.float32, iters=16)))
+    rows.append(("Conv-TasNet (paper, bf16)", *bench_waveform_model(conv, 8, 32000, 8000, jnp.bfloat16, iters=16)))
     rows.append(("Conv-TasNet (serving batch 32, bf16)", *bench_waveform_model(conv, 32, 32000, 8000, jnp.bfloat16, iters=4)))
 
     dprnn = DPRNNTasNet(
@@ -119,21 +143,21 @@ def main():
         sep_down_chunk_size=32, sep_num_blocks=6, sep_num_heads=8,
         mask_nonlinear="relu", n_sources=2,
     )
-    rows.append(("GALRNet (recipe, bf16)", *bench_waveform_model(galr, 4, 32000, 8000, jnp.bfloat16, iters=4)))
+    rows.append(("GALRNet (recipe, bf16)", *bench_waveform_model(galr, 4, 32000, 8000, jnp.bfloat16, iters=32)))
 
     lstm = LSTMTasNet(
         n_basis=500, kernel_size=40, stride=20, enc_basis="trainableGated",
         dec_basis="trainable", sep_num_blocks=2, sep_num_layers=2,
         sep_hidden_channels=500, mask_nonlinear="softmax", n_sources=2,
     )
-    rows.append(("LSTM-TasNet (recipe, bf16)", *bench_waveform_model(lstm, 8, 32000, 8000, jnp.bfloat16, iters=4)))
+    rows.append(("LSTM-TasNet (recipe, bf16)", *bench_waveform_model(lstm, 8, 32000, 8000, jnp.bfloat16, iters=16)))
 
     # UMX spectrogram path: 6 s stereo @ 44.1k -> (B, 2, 2049, 259)
     umx = OpenUnmix(in_channels=2, hidden_channels=512, num_layers=3,
                     n_bins=2049, max_bin=1487)
     B, F, S = 8, 2049, 259
     rng = np.random.default_rng(1)
-    xs = jnp.asarray(np.abs(rng.standard_normal((4, B, 2, F, S))), jnp.bfloat16)
+    xs = jnp.asarray(np.abs(rng.standard_normal((64, B, 2, F, S))), jnp.bfloat16)
     vars_ = umx.init(jax.random.PRNGKey(0), jnp.zeros((B, 2, F, S), jnp.float32))
     vars_ = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, vars_)
     ms = amortized_ms(umx.apply, vars_, xs)
@@ -146,7 +170,7 @@ def main():
     xumx = CrossNetOpenUnmix(in_channels=2, hidden_channels=512, num_layers=3,
                              n_bins=2049, max_bin=1487)
     B = 4
-    xs = jnp.asarray(np.abs(rng.standard_normal((4, B, 1, 2, F, S))), jnp.bfloat16)
+    xs = jnp.asarray(np.abs(rng.standard_normal((32, B, 1, 2, F, S))), jnp.bfloat16)
     vars_ = xumx.init(jax.random.PRNGKey(0), jnp.zeros((B, 1, 2, F, S), jnp.float32))
     vars_ = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, vars_)
     ms = amortized_ms(xumx.apply, vars_, xs)
@@ -190,19 +214,19 @@ def main():
     mmdn = build_mmdensenet_from_config(
         os.path.join(root_dir, "egs/musdb18/mm-densenet/config/paper.yaml"))
     rows.append(("MMDenseNet (paper cfg, bf16)",
-                 *bench_spec(mmdn, 2, 1025, 256, 1024 / 44100)))
+                 *bench_spec(mmdn, 2, 1025, 256, 1024 / 44100, iters=4)))
 
     # MMDenseLSTM paper cfg: 4096-FFT (2049 bins), hop 2048 @ 44.1 kHz.
     mmdl = build_mmdenselstm_from_config(
         os.path.join(root_dir, "egs/musdb18/mm-dense-lstm/config/paper.yaml"))
     rows.append(("MMDenseLSTM (paper cfg, bf16)",
-                 *bench_spec(mmdl, 2, 2049, 128, 2048 / 44100)))
+                 *bench_spec(mmdl, 2, 2049, 128, 2048 / 44100, iters=4)))
 
     # HRNet recipe cfg: 4096-FFT, hop 1024 @ 44.1 kHz, per-target model.
     from dnn_based_source_separation_tpu.models.hrnet import HRNet
 
     hr = HRNet(in_channels=2, hidden_channels=(16, 32, 64))
-    rows.append(("HRNet (recipe, bf16)", *bench_spec(hr, 2, 2049, 192, 1024 / 44100)))
+    rows.append(("HRNet (recipe, bf16)", *bench_spec(hr, 2, 2049, 192, 1024 / 44100, iters=4)))
 
     # MRX (cocktail-fork): waveform stereo 44.1 kHz, 3 STFT resolutions.
     from dnn_based_source_separation_tpu.models.mrx import MultiResolutionCrossNet
@@ -226,7 +250,7 @@ def main():
                            stride=(2, 2), control_channels=(4, 16, 64),
                            conditioning="film", masking=True)
     B, F, S = 4, 513, 128
-    xs = jnp.asarray(np.abs(np.random.default_rng(9).standard_normal((4, B, 2, F, S))), jnp.bfloat16)
+    xs = jnp.asarray(np.abs(np.random.default_rng(9).standard_normal((32, B, 2, F, S))), jnp.bfloat16)
     cond = jnp.asarray(np.eye(4, dtype=np.float32)[:B])
     cu_apply = lambda p, x: cu.apply(p, x, cond)
     vars_ = cu.init(jax.random.PRNGKey(0), jnp.zeros((B, 2, F, S), jnp.float32), cond)
@@ -264,7 +288,7 @@ def main():
     da = DANet(n_bins=129)
     B, F, S = 8, 129, 500  # 4 s per utterance
     da_apply = lambda p, x: da.apply(p, x, n_sources=2)
-    xs = jnp.asarray(np.abs(np.random.default_rng(11).standard_normal((4, B, 1, F, S))), jnp.bfloat16)
+    xs = jnp.asarray(np.abs(np.random.default_rng(11).standard_normal((16, B, 1, F, S))), jnp.bfloat16)
     vars_ = da.init(jax.random.PRNGKey(0), jnp.zeros((B, 1, F, S), jnp.float32), n_sources=2)
     vars_ = jax.tree_util.tree_map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, vars_)
@@ -275,8 +299,11 @@ def main():
     lines = [
         "# Inference throughput (single TPU v5e chip)",
         "",
-        "Amortized on-device timing (lax.scan over batches, one host fetch);",
-        "recipe-scale configurations. audio-seconds processed per second:",
+        "Amortized on-device timing: lax.scan over 4-64 batches, one host",
+        "fetch, with the harness's fixed per-call cost (~27-30 ms through",
+        "this environment's remote tunnel; measured each run) subtracted —",
+        "reported numbers are on-device compute at recipe-scale configs.",
+        "audio-seconds processed per second:",
         "",
         "| Model | RTF (audio-sec/sec/chip) | MFU |",
         "|---|---|---|",

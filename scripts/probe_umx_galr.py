@@ -36,9 +36,28 @@ import numpy as np
 PEAK = 197e12  # v5e bf16
 
 
+_FLOOR = [None]
+
+
+def _floor_ms():
+    if _FLOOR[0] is None:
+        f = jax.jit(lambda s: s * 1.0 + 1.0)
+        x = jnp.float32(0.0)
+        float(f(x))
+        ts = []
+        for _ in range(20):
+            s = time.perf_counter(); float(f(x)); ts.append(time.perf_counter() - s)
+        _FLOOR[0] = float(np.median(ts)) * 1e3
+        print(f"harness per-call floor: {_FLOOR[0]:.1f} ms (subtracted as floor/iters)",
+              flush=True)
+    return _FLOOR[0]
+
+
 def timed(apply_fn, params, x, iters=16):
     """Median ms amortized over a scanned chain of stacked inputs (see
-    probe_d3net.timed for the two measurement traps this avoids)."""
+    probe_d3net.timed for the two measurement traps this avoids), with the
+    fixed per-call harness cost (~25-30 ms tunnel dispatch+fetch) subtracted
+    so small blocks are not swamped by it."""
     xs = jnp.stack([x] * iters)
     many = jax.jit(lambda p, xs: jax.lax.scan(
         lambda c, xi: (c + jnp.sum(apply_fn(p, xi).astype(jnp.float32)), None),
@@ -49,7 +68,8 @@ def timed(apply_fn, params, x, iters=16):
         s = time.perf_counter()
         float(many(params, xs))
         ts.append(time.perf_counter() - s)
-    return float(np.median(ts)) / iters * 1e3
+    raw = float(np.median(ts)) / iters * 1e3
+    return max(raw - _floor_ms() / iters, 0.05 * raw)
 
 
 def flops_of(apply_fn, params, x):
@@ -80,7 +100,7 @@ def probe_umx():
                     n_bins=F, max_bin=1487)
     x = jnp.asarray(np.abs(rng.standard_normal((B, 2, F, S))), jnp.bfloat16)
     v = cast(umx.init(jax.random.PRNGKey(0), jnp.zeros((B, 2, F, S), jnp.float32)))
-    ms_full = timed(umx.apply, v, x, iters=8)
+    ms_full = timed(umx.apply, v, x, iters=32)
     report("UMX full (paper cfg, B=8, bf16)", ms_full, flops_of(umx.apply, v, x))
 
     # The 3-layer biLSTM stack alone at UMX's internal shape. UMX's LSTM is
@@ -94,7 +114,7 @@ def probe_umx():
     stack = Stack()
     h = jnp.asarray(rng.standard_normal((B, S, 512)), jnp.bfloat16)
     vs = cast(stack.init(jax.random.PRNGKey(0), jnp.zeros((B, S, 512), jnp.float32)))
-    ms_stack = timed(stack.apply, vs, h, iters=8)
+    ms_stack = timed(stack.apply, vs, h, iters=32)
     report("  biLSTM stack alone (3 layers, B=8 x S=259 x 512)", ms_stack)
 
     # Dense path alone: fc-in (C*max_bin -> 512) + fc-out chain at the same
@@ -109,16 +129,17 @@ def probe_umx():
     dp = DensePath()
     tkn = jnp.asarray(rng.standard_normal((B, S, 2 * 1487)), jnp.bfloat16)
     vd = cast(dp.init(jax.random.PRNGKey(0), jnp.zeros((B, S, 2 * 1487), jnp.float32)))
-    ms_dense = timed(dp.apply, vd, tkn, iters=8)
+    ms_dense = timed(dp.apply, vd, tkn, iters=32)
     report("  dense path alone (fc-in/join/fc2/fc3)", ms_dense,
            flops_of(dp.apply, vd, tkn))
 
-    floor = S * 3 * 14e-3  # ms: steps x layers x ~14 us/step dependency floor
-    print(f"  analytic biLSTM dependency floor: {floor:.1f} ms "
-          f"({S} steps x 3 layers x ~14 us; bidir fusion advances both "
-          f"directions per step)", flush=True)
+    # NOTE: the kernel-notes "~14 us/step" figure is a B=1028-row
+    # THROUGHPUT cost at the DPRNN intra shape, not a latency floor — at
+    # UMX's B=8 the fused stepper advances a step in well under 1 us
+    # (measured 0.44 ms / 777 steps ~= 0.57 us/step).
+    per_step_us = ms_stack * 1e3 / (S * 3)
     print(f"  => LSTM stack = {ms_stack / ms_full:.0%} of the full forward; "
-          f"stack measured/floor = {ms_stack / floor:.2f}", flush=True)
+          f"{per_step_us:.2f} us per sequential step at B=8", flush=True)
 
 
 def probe_galr():
@@ -137,7 +158,7 @@ def probe_galr():
     B, T = 4, 32000
     x = jnp.asarray(rng.standard_normal((B, 1, T)), jnp.bfloat16)
     v = cast(galr.init(jax.random.PRNGKey(0), jnp.zeros((B, 1, T), jnp.float32)))
-    ms_full = timed(galr.apply, v, x, iters=8)
+    ms_full = timed(galr.apply, v, x, iters=32)
     report("GALRNet full (recipe, B=4, bf16)", ms_full, flops_of(galr.apply, v, x))
 
     # Internal dual-path shape: stride-8 encoder -> ~4000 frames; K=100,
@@ -148,22 +169,21 @@ def probe_galr():
                     down_chunk_size=32, num_heads=8)
     vb = cast(blk.init(jax.random.PRNGKey(0), jnp.zeros((Bq, S_, K, N), jnp.float32)))
     report("  one GALRBlock (of 6) @ (4,80,100,64)",
-           timed(blk.apply, vb, xb, iters=16))
+           timed(blk.apply, vb, xb, iters=64))
 
     rec = IntraChunkRNN(num_features=N, hidden_channels=128)
     vr = cast(rec.init(jax.random.PRNGKey(0), jnp.zeros((Bq, S_, K, N), jnp.float32)))
     report("    locally-recurrent half (biLSTM K=100 steps)",
-           timed(rec.apply, vr, xb, iters=16))
+           timed(rec.apply, vr, xb, iters=64))
 
     att = GloballyAttentiveBlock(num_features=N, chunk_size=K,
                                  down_chunk_size=32, num_heads=8)
     va = cast(att.init(jax.random.PRNGKey(0), jnp.zeros((Bq, S_, K, N), jnp.float32)))
     report("    globally-attentive half (low-dim MHA)",
-           timed(att.apply, va, xb, iters=16))
+           timed(att.apply, va, xb, iters=64))
 
-    floor = 6 * 100 * 14e-3
-    print(f"  analytic dependency floor: 6 blocks x K=100 LSTM steps x "
-          f"~14 us = {floor:.1f} ms", flush=True)
+    print("  (6 blocks x ~0.39 ms ~= 2.3 ms of the full 2.7 ms: the model"
+          " IS its blocks; intra-RNN ~2.4x the attention half)", flush=True)
 
 
 if __name__ == "__main__":

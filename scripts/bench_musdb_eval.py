@@ -59,7 +59,7 @@ def main():
     rng = np.random.default_rng(0)
     track = rng.standard_normal((2, n_chunks * chunk)).astype(np.float32) * 0.1
     variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 2, n_fft // 2 + 1, 16), jnp.float32))
+                           jnp.zeros((1, 1, 2, n_fft // 2 + 1, 16), jnp.float32))
 
     stft_jit = jax.jit(functools.partial(stft, n_fft=n_fft, hop_length=hop, window=window))
     istft_jit = jax.jit(functools.partial(istft, n_fft=n_fft, hop_length=hop,
@@ -69,7 +69,7 @@ def main():
 
     def chunk_amp(params, seg_wave):  # (1, 2, chunk) -> (1, n_src, 2, F, S)
         spec = stft(seg_wave, n_fft, hop, window=window)
-        return model.apply(params, jnp.abs(spec))
+        return model.apply(params, jnp.abs(spec)[:, None])
 
     chunk_amp_jit = jax.jit(chunk_amp)
 
@@ -107,17 +107,24 @@ def main():
     print(f"  stage split: model+stft {t_model:.2f} s, wiener+istft "
           f"{wall - t_model:.2f} s", flush=True)
 
-    # CPU-vs-TPU numerical match of the complex EM path.
-    spec_small = (rng.standard_normal((2, 65, 40)) +
-                  1j * rng.standard_normal((2, 65, 40))).astype(np.complex64)
+    # CPU-vs-TPU numerical match of the complex EM path. The experimental
+    # TPU backend cannot device_put complex64 host arrays, so the complex
+    # spectrogram is formed from real/imag parts INSIDE jit on both sides.
+    spec_re = rng.standard_normal((2, 65, 40)).astype(np.float32)
+    spec_im = rng.standard_normal((2, 65, 40)).astype(np.float32)
     amp_small = np.abs(rng.standard_normal((4, 2, 65, 40))).astype(np.float32)
-    on_tpu = np.asarray(wiener_jit(jnp.asarray(spec_small), jnp.asarray(amp_small)))
+
+    def wiener_from_parts(re, im, amp):
+        est = multichannel_wiener_filter(jax.lax.complex(re, im), amp,
+                                         iteration=args.iter_wiener)
+        return jnp.stack([est.real, est.imag])
+
+    on_tpu = np.asarray(jax.jit(wiener_from_parts)(
+        jnp.asarray(spec_re), jnp.asarray(spec_im), jnp.asarray(amp_small)))
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        on_cpu = np.asarray(
-            jax.jit(functools.partial(multichannel_wiener_filter,
-                                      iteration=args.iter_wiener))(
-                jnp.asarray(spec_small), jnp.asarray(amp_small)))
+        on_cpu = np.asarray(jax.jit(wiener_from_parts)(
+            jnp.asarray(spec_re), jnp.asarray(spec_im), jnp.asarray(amp_small)))
     err = float(np.max(np.abs(on_tpu - on_cpu)) / (np.max(np.abs(on_cpu)) + 1e-12))
     status = "PASS" if err < 1e-3 else "FAIL"
     print(f"  complex Wiener-EM TPU-vs-CPU rel max err: {err:.2e} [{status}]", flush=True)

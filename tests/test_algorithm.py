@@ -143,3 +143,23 @@ def test_nmf_reduces_error():
         W, H = nmf(V)
         err = np.linalg.norm(np.asarray(W @ H) - np.asarray(V)) / np.linalg.norm(np.asarray(V))
         assert err < 0.2, f"{div} err={err}"
+
+
+def test_inv_small_matches_lu_inverse():
+    """The closed-form 2x2 adjugate path (used by the Wiener EM on TPU,
+    where batched linalg.inv serializes tiny LU factorizations) must match
+    linalg.inv; C>2 falls back to linalg.inv unchanged."""
+    from dnn_based_source_separation_tpu.algorithm.frequency_mask import _inv_small
+
+    rng = np.random.default_rng(7)
+    A = (rng.standard_normal((5, 7, 2, 2)) +
+         1j * rng.standard_normal((5, 7, 2, 2))).astype(np.complex64)
+    A = A @ np.conj(np.swapaxes(A, -1, -2)) + 0.1 * np.eye(2)  # hermitian PD
+    np.testing.assert_allclose(np.asarray(_inv_small(jnp.asarray(A))),
+                               np.linalg.inv(A), rtol=1e-4, atol=1e-5)
+
+    B = (rng.standard_normal((4, 3, 3)) +
+         1j * rng.standard_normal((4, 3, 3))).astype(np.complex64)
+    B = B @ np.conj(np.swapaxes(B, -1, -2)) + 0.1 * np.eye(3)
+    np.testing.assert_allclose(np.asarray(_inv_small(jnp.asarray(B))),
+                               np.linalg.inv(B), rtol=1e-3, atol=1e-4)

@@ -79,6 +79,10 @@ def build_parser():
     p.add_argument("--overwrite", type=int, default=0)
     p.add_argument("--seed", type=int, default=111)
     p.add_argument("--num_workers", type=int, default=0, help="background loader threads")
+    p.add_argument("--cache_in_memory", type=int, default=0,
+                   help="cache decoded waveforms in RAM after first use "
+                        "(~4B x (1+n_src) x corpus samples; removes all "
+                        "file IO from epochs 2+)")
     p.add_argument("--n_devices", type=int, default=None, help="mesh data-parallel size")
     p.add_argument("--mixed_precision", type=int, default=0, help="bf16 compute, f32 master params")
     return p
@@ -130,7 +134,8 @@ def main(args=None):
         return trainer
 
     train_ds = WaveTrainDataset(args.train_wav_root, args.train_list_path,
-                                samples=samples, n_sources=args.n_sources)
+                                samples=samples, n_sources=args.n_sources,
+                                cache_in_memory=bool(args.cache_in_memory))
     valid_ds = WaveEvalDataset(args.valid_wav_root, args.valid_list_path,
                                max_samples=valid_samples, n_sources=args.n_sources)
     print(f"Training dataset includes {len(train_ds)} samples.", flush=True)

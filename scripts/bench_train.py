@@ -221,7 +221,8 @@ def soak_worker(args):
     from dnn_based_source_separation_tpu.train.trainer import Trainer, TrainerConfig
 
     root, list_path = ensure_corpus(args.corpus)
-    train_ds = wsj0mix.WaveTrainDataset(root, list_path, samples=32000)
+    train_ds = wsj0mix.WaveTrainDataset(root, list_path, samples=32000,
+                                        cache_in_memory=bool(args.cache))
     # Tiny validation split so eval does not distort the soak timing.
     valid_list = os.path.join(root, "cv.lst")
     if not os.path.exists(valid_list):
@@ -272,7 +273,8 @@ def soak_orchestrate(args):
     base = [sys.executable, os.path.abspath(__file__),
             "--soak_worker", "--corpus", args.corpus, "--exp_dir", exp_dir,
             "--num_workers", str(args.num_workers),
-            "--batch_size", str(args.batch_size)]
+            "--batch_size", str(args.batch_size),
+            "--cache", str(args.cache)]
     log_a = os.path.join(exp_dir, "soak_phase_a.log")
     print(f"phase A: training ~{phase_a_min:.1f} min then SIGKILL (log: {log_a})",
           flush=True)
@@ -332,6 +334,8 @@ def main():
     ap.add_argument("--exp_dir", type=str, default="/tmp/dnntpu_soak_exp")
     ap.add_argument("--num_workers", type=int, default=4)
     ap.add_argument("--batch_size", type=int, default=4)
+    ap.add_argument("--cache", type=int, default=0,
+                    help="soak: cache decoded waveforms in RAM (dataset cache_in_memory)")
     args = ap.parse_args()
 
     if args.soak_worker:

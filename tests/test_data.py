@@ -57,6 +57,23 @@ def test_wave_train_dataset_windows(wsj0_corpus):
     assert bm.shape == (2, 1, 2000) and bs.shape == (2, 2, 2000)
 
 
+def test_wave_train_dataset_ram_cache_matches_direct_read(wsj0_corpus):
+    """cache_in_memory=True must serve byte-identical windows to the
+    file-reading path (every index, two passes — second pass is all
+    cache hits)."""
+    root, lst = wsj0_corpus
+    direct = WaveTrainDataset(root, lst, samples=2000)
+    cached = WaveTrainDataset(root, lst, samples=2000, cache_in_memory=True)
+    assert len(direct) == len(cached)
+    for _ in range(2):
+        for i in range(len(direct)):
+            dm, dsrc = direct[i]
+            cm, csrc = cached[i]
+            np.testing.assert_array_equal(dm, cm)
+            np.testing.assert_array_equal(dsrc, csrc)
+    assert cached._cache  # populated
+
+
 def test_wave_test_dataset_ids(wsj0_corpus):
     root, lst = wsj0_corpus
     ds = WaveTestDataset(root, lst, n_sources=2)

@@ -85,6 +85,10 @@ def build_parser():
     p.add_argument("--overwrite", type=int, default=0)
     p.add_argument("--seed", type=int, default=111)
     p.add_argument("--num_workers", type=int, default=0, help="background loader threads")
+    p.add_argument("--cache_in_memory", type=int, default=0,
+                   help="cache decoded stems in RAM after first use "
+                        "(~4B x channels x corpus samples x (1+n_src); "
+                        "full musdb18 train split ~40 GB)")
     p.add_argument("--n_devices", type=int, default=None)
     return p
 
@@ -105,11 +109,12 @@ def main(args=None):
             args.musdb18_root, duration=args.duration, sample_rate=args.sample_rate,
             samples_per_epoch=args.samples_per_epoch, sources=sources,
             augmentation=aug, seed=args.seed,
+            cache_in_memory=bool(args.cache_in_memory),
         )
     else:
         train_ds = musdb.WaveTrainDataset(
             args.musdb18_root, duration=args.duration, sample_rate=args.sample_rate,
-            sources=sources,
+            sources=sources, cache_in_memory=bool(args.cache_in_memory),
         )
     valid_ds = musdb.WaveEvalDataset(
         args.musdb18_root, max_duration=args.valid_duration,

@@ -39,11 +39,23 @@ def _read_names(path: str) -> List[str]:
 
 
 class _MUSDB18Base:
+    """`cache_in_memory=True` keeps each (track, stem)'s decoded f32
+    waveform in RAM after first use — every later window is a numpy slice
+    with zero file IO (the AugmentationWaveTrainDataset reads a random
+    window from a random track per source per item, so it re-touches every
+    track every epoch and benefits the most). Cost: ~4 B x channels x
+    total samples x (1 + n_sources) (full musdb18 train split ~40 GB);
+    opt-in for large-RAM training hosts.
+    """
+
     def __init__(self, musdb18_root: str, subset: str = "train", sources: Sequence[str] = __sources__,
-                 include_valid: bool = False, valid_only: bool = False):
+                 include_valid: bool = False, valid_only: bool = False,
+                 cache_in_memory: bool = False):
         self.root = musdb18_root
         self.sources = list(sources)
         self.subset = "train" if subset == "valid" else subset
+        self.cache_in_memory = cache_in_memory
+        self._cache: dict = {}
 
         if subset in ("train", "valid"):
             valid_path = os.path.join(musdb18_root, "validation.txt")
@@ -61,6 +73,18 @@ class _MUSDB18Base:
         return os.path.join(self.root, self.subset, name, f"{source}.wav")
 
     def _load(self, name: str, source: str, start: int = 0, frames: Optional[int] = None):
+        if self.cache_in_memory:
+            key = (name, source)
+            full = self._cache.get(key)
+            if full is None:
+                x, _ = read_wav(self._path(name, source), 0, None)
+                if x.ndim == 1:
+                    x = x[:, None]
+                full = x.T.astype(np.float32)  # (C, T)
+                self._cache[key] = full  # GIL-atomic; a race wastes one read
+            if frames is None:
+                return full[:, start:] if start else full
+            return full[:, start : start + frames]
         x, sr = read_wav(self._path(name, source), start, frames)
         if x.ndim == 1:
             x = x[:, None]

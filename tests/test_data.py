@@ -143,6 +143,32 @@ def test_musdb_wave_train_dataset(musdb_corpus):
     np.testing.assert_allclose(mix[0], src.sum(0), atol=2e-3)
 
 
+def test_musdb_ram_cache_matches_direct_read(musdb_corpus):
+    """musdb18 cache_in_memory must serve identical windows (fixed-window
+    AND the seeded random-remix dataset) to the file-reading path."""
+    root, sr = musdb_corpus
+    direct = musdb.WaveTrainDataset(root, duration=1.0, sample_rate=sr)
+    cached = musdb.WaveTrainDataset(root, duration=1.0, sample_rate=sr,
+                                    cache_in_memory=True)
+    for i in range(len(direct)):
+        dm, dsrc = direct[i]
+        cm, csrc = cached[i]
+        np.testing.assert_array_equal(dm, cm)
+        np.testing.assert_array_equal(dsrc, csrc)
+
+    d_aug = musdb.AugmentationWaveTrainDataset(
+        root, duration=0.5, sample_rate=sr, samples_per_epoch=5, seed=3)
+    c_aug = musdb.AugmentationWaveTrainDataset(
+        root, duration=0.5, sample_rate=sr, samples_per_epoch=5, seed=3,
+        cache_in_memory=True)
+    for i in range(5):
+        dm, dsrc = d_aug[i]
+        cm, csrc = c_aug[i]
+        np.testing.assert_array_equal(dm, cm)
+        np.testing.assert_array_equal(dsrc, csrc)
+    assert c_aug._cache
+
+
 def test_musdb_augmentation_dataset_remixes(musdb_corpus):
     root, sr = musdb_corpus
     aug = SequentialAugmentation(RandomGain(min=0.5, max=1.5))

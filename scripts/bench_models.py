@@ -317,6 +317,18 @@ def main():
         "throughput because the TDCN's activation working set leaves on-chip",
         "memory -- scale serving with more chips, not batch.",
         "",
+        'What bounds each family (measured — details in "Kernel notes" below):',
+        "",
+        "| Family | Bound | Evidence |",
+        "|---|---|---|",
+        "| Conv-TasNet / Meta-TasNet | VPU pointwise throughput (gLN stats + PReLU per element), not HBM | bf16 buys only 8% over f32 on the TDCN |",
+        "| DPRNN / DPTNet / LSTM-TasNet | sequential recurrence dependency (~14 us/step at full-width batches) | unroll probe: loop machinery removal changes nothing |",
+        "| SepFormer | healthy MXU mix (14.8% MFU) | attention+FFN matmuls dominate |",
+        "| UMX / X-UMX | dense path at 60.9% MFU; LSTM stack 62% of forward | probe_umx_galr stage split |",
+        "| GALRNet | intra biLSTM ~2.4x the low-dim attention half | per-block stage split |",
+        "| D3Net / MMDense* / CUNet / HRNet / MRX | small-channel (13-66) lane underutilization: convs fill <1/4 of the 128-wide tile | 32→66 conv at 2.4% MFU vs 128→128 at 15.5%; BN/ReLU fuse free |",
+        "| Wavesplit | MXU-dense speaker+separation stacks (23.1% MFU) | best MFU in the zoo |",
+        "",
         "The reference publishes no throughput numbers; its only perf",
         "surface is recipe SDR tables (BASELINE.md). The project's north",
         "star (>=10x realtime Conv-TasNet inference per chip) is exceeded",

@@ -53,9 +53,11 @@ def build_parser():
     p.add_argument("--sep_down_chunk_size", "-Q", type=int, default=32)
     p.add_argument("--sep_num_heads", type=int, default=4)
     p.add_argument("--rnn_type", type=str, default="lstm",
-                   choices=["lstm", "gru"],
+                   choices=["lstm", "gru", "sru"],
                    help="dprnn-tasnet recurrence (gru is ~20%% faster on TPU "
-                        "at the recipe config, see BENCHMARKS.md)")
+                        "at the recipe config; sru replaces the sequential "
+                        "recurrence with a parallel prefix scan, see "
+                        "BENCHMARKS.md)")
     p.add_argument("--conv_hidden_channels", "-Hc", type=int, default=128,
                    help="furcanet gated-conv hidden channels")
     p.add_argument("--rnn_hidden_channels", "-Hr", type=int, default=128,

@@ -179,6 +179,87 @@ class GRU(nn.Module):
         return x
 
 
+def _sru_linear_scan(f: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+    """Solve c_t = f_t * c_{t-1} + z_t (c_0 = 0) with a parallel prefix scan.
+
+    f, z: (B, T, H). Each timestep is the affine map c -> f_t*c + z_t;
+    composing maps is associative, so `lax.associative_scan` evaluates the
+    whole recurrence in O(log T) depth of elementwise ops -- there is no
+    sequential dependency left for the hardware to wait on (contrast the
+    ~14 us/step chain of an LSTM, BENCHMARKS.md kernel notes). The scan
+    runs in float32: the prefix products of gates can underflow bf16.
+    """
+    dtype = z.dtype
+    f32, z32 = f.astype(jnp.float32), z.astype(jnp.float32)
+
+    def combine(a, b):
+        fa, za = a
+        fb, zb = b
+        return fb * fa, fb * za + zb
+
+    _, c = jax.lax.associative_scan(combine, (f32, z32), axis=1)
+    return c.astype(dtype)
+
+
+class SRU(nn.Module):
+    """Simple Recurrent Unit (Lei et al. 2018, light recurrence) -- the
+    TPU-first recurrence: elementwise-only state update, evaluated with a
+    parallel prefix scan instead of a sequential loop.
+
+        x~, f', r' = x W            (one (B*T, F) x (F, 3H) MXU matmul)
+        f_t = sigmoid(f'_t + b_f)
+        r_t = sigmoid(r'_t + b_r)
+        c_t = f_t . c_{t-1} + (1 - f_t) . x~_t     <- associative scan
+        h_t = r_t . c_t + (1 - r_t) . x_t          (highway)
+
+    Unlike LSTM/GRU there is no h_{t-1} @ W_hh inside the step, so the
+    recurrence has no matmul-latency chain: everything after the input
+    projection is VPU-elementwise at O(log T) depth. This is an extension
+    beyond the reference's rnn/lstm/gru surface (`src/utils/model.py:22`),
+    offered as a drop-in `rnn_type` for the dual-path models where the
+    LSTM dependency chain is the measured throughput ceiling
+    (BENCHMARKS.md kernel notes; ROADMAP #4).
+
+    The highway term uses x directly when F == H, otherwise a learned
+    (F, H) projection. Same call contract as LSTM/GRU above.
+    """
+
+    hidden_size: int
+    num_layers: int = 1
+    bidirectional: bool = False
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        H = self.hidden_size
+        for layer in range(self.num_layers):
+            F = x.shape[-1]
+            outs = []
+            for direction in range(2 if self.bidirectional else 1):
+                sfx = f"_l{layer}" + ("_reverse" if direction else "")
+                w = self.param(f"w_ih{sfx}", nn.initializers.lecun_normal(), (F, 3 * H))
+                b = self.param(f"b{sfx}", nn.initializers.zeros, (2 * H,))
+                xin = jnp.flip(x, axis=1) if direction else x
+                u = jnp.dot(xin, w, preferred_element_type=None)
+                xt, fp, rp = jnp.split(u, 3, axis=-1)
+                bf, br = jnp.split(b, 2, axis=-1)
+                f = nn.sigmoid(fp + bf)
+                r = nn.sigmoid(rp + br)
+                c = _sru_linear_scan(f, (1.0 - f) * xt)
+                if F == H:
+                    hw = xin
+                else:
+                    w_hx = self.param(
+                        f"w_hx{sfx}", nn.initializers.lecun_normal(), (F, H))
+                    hw = jnp.dot(xin, w_hx, preferred_element_type=None)
+                hs = r * c + (1.0 - r) * hw
+                outs.append(jnp.flip(hs, axis=1) if direction else hs)
+            x = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+            if self.dropout > 0.0 and layer < self.num_layers - 1:
+                x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
+        return x
+
+
 class RNN(nn.Module):
     hidden_size: int
     num_layers: int = 1
@@ -208,7 +289,7 @@ class RNN(nn.Module):
 
 def choose_rnn(name: str, hidden_size: int, num_layers: int = 1, bidirectional: bool = False, dropout: float = 0.0, parent_name: Optional[str] = None):
     """Factory mirroring reference `src/utils/model.py:22`."""
-    table = {"rnn": RNN, "lstm": LSTM, "gru": GRU}
+    table = {"rnn": RNN, "lstm": LSTM, "gru": GRU, "sru": SRU}
     if name not in table:
         raise NotImplementedError(f"Unsupported rnn type: {name}")
     return table[name](hidden_size=hidden_size, num_layers=num_layers, bidirectional=bidirectional, dropout=dropout, name=parent_name)

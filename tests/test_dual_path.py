@@ -11,7 +11,7 @@ from dnn_based_source_separation_tpu.models import (
     LSTMTasNet,
     SepFormer,
 )
-from dnn_based_source_separation_tpu.ops.rnn import LSTM, GRU
+from dnn_based_source_separation_tpu.ops.rnn import LSTM, GRU, SRU
 from dnn_based_source_separation_tpu.models.base import save_model, load_model
 
 import torch
@@ -62,6 +62,98 @@ def test_gru_matches_torch():
 
     ours = model.apply(params, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(ours), expected.numpy(), atol=1e-5)
+
+
+def _sru_sequential_reference(x, w, b, w_hx=None):
+    """Step-by-step SRU light recurrence (the O(T) definition) in numpy."""
+    B, T, F = x.shape
+    H = w.shape[1] // 3
+    u = x @ w
+    xt, fp, rp = u[..., :H], u[..., H : 2 * H], u[..., 2 * H :]
+    bf, br = b[:H], b[H:]
+    hw = x if w_hx is None else x @ w_hx
+    c = np.zeros((B, H), np.float32)
+    hs = np.zeros((B, T, H), np.float32)
+    for t in range(T):
+        f = 1.0 / (1.0 + np.exp(-(fp[:, t] + bf)))
+        r = 1.0 / (1.0 + np.exp(-(rp[:, t] + br)))
+        c = f * c + (1.0 - f) * xt[:, t]
+        hs[:, t] = r * c + (1.0 - r) * hw[:, t]
+    return hs
+
+
+def test_sru_parallel_scan_matches_sequential():
+    """The associative-scan evaluation must equal the O(T) step recurrence."""
+    B, T, F, H = 3, 50, 5, 7
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((B, T, F)).astype(np.float32)
+
+    model = SRU(hidden_size=H)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    p = params["params"]
+    expected = _sru_sequential_reference(
+        x, np.asarray(p["w_ih_l0"]), np.asarray(p["b_l0"]),
+        np.asarray(p["w_hx_l0"]))
+
+    ours = model.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), expected, atol=1e-5)
+
+
+def test_sru_highway_identity_when_widths_match():
+    """F == H uses x itself as the highway term (no w_hx parameter)."""
+    B, T, H = 2, 16, 6
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((B, T, H)).astype(np.float32)
+    model = SRU(hidden_size=H)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    assert "w_hx_l0" not in params["params"]
+    expected = _sru_sequential_reference(
+        x, np.asarray(params["params"]["w_ih_l0"]),
+        np.asarray(params["params"]["b_l0"]))
+    np.testing.assert_allclose(
+        np.asarray(model.apply(params, jnp.asarray(x))), expected, atol=1e-5)
+
+
+def test_sru_unidirectional_is_causal():
+    B, T, F, H = 2, 24, 4, 5
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((B, T, F)).astype(np.float32)
+    model = SRU(hidden_size=H)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    base = np.asarray(model.apply(params, jnp.asarray(x)))
+    x2 = x.copy()
+    x2[:, T // 2 :] += 10.0
+    pert = np.asarray(model.apply(params, jnp.asarray(x2)))
+    np.testing.assert_allclose(pert[:, : T // 2], base[:, : T // 2], atol=1e-6)
+    assert np.abs(pert[:, T // 2 :] - base[:, T // 2 :]).max() > 1e-3
+
+
+def test_sru_bidirectional_stacked_jit_and_grad():
+    B, T, F, H = 2, 12, 4, 6
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((B, T, F)), jnp.float32)
+    model = SRU(hidden_size=H, num_layers=2, bidirectional=True)
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = jax.jit(model.apply)(params, x)
+    assert out.shape == (B, T, 2 * H)
+
+    g = jax.grad(lambda p: jnp.sum(model.apply(p, x) ** 2))(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_dprnn_tasnet_sru_forward():
+    model = DPRNNTasNet(
+        n_basis=16, kernel_size=8, stride=4,
+        sep_num_blocks=2, sep_chunk_size=10, sep_hop_size=5,
+        sep_hidden_channels=12, sep_bottleneck_channels=8,
+        rnn_type="sru", n_sources=2,
+    )
+    x = jnp.zeros((2, 1, 320), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = jax.jit(model.apply)(params, x)
+    assert out.shape == (2, 2, 320)
 
 
 @pytest.mark.parametrize(

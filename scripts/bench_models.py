@@ -120,6 +120,18 @@ def main():
     )
     rows.append(("DPRNN-TasNet (recipe, bf16)", *bench_waveform_model(dprnn, 4, 32000, 8000, jnp.bfloat16, iters=4)))
 
+    # Same topology with the SRU parallel-prefix recurrence (rnn_type='sru',
+    # ops/rnn.py:SRU): no sequential dependency chain -> measures what the
+    # ~14 us/step LSTM recurrence floor costs the dual-path family.
+    dprnn_sru = DPRNNTasNet(
+        n_basis=64, kernel_size=2, stride=1, enc_basis="trainable",
+        dec_basis="trainable", enc_nonlinear="relu",
+        sep_bottleneck_channels=64, sep_hidden_channels=128,
+        sep_chunk_size=250, sep_hop_size=125, sep_num_blocks=6,
+        rnn_type="sru", causal=False, n_sources=2,
+    )
+    rows.append(("DPRNN-TasNet (recipe, SRU recurrence, bf16)", *bench_waveform_model(dprnn_sru, 4, 32000, 8000, jnp.bfloat16, iters=16)))
+
     sep = SepFormer(
         n_basis=256, kernel_size=16, stride=8, enc_nonlinear="relu",
         sep_bottleneck_channels=256, sep_chunk_size=250, sep_hop_size=125,

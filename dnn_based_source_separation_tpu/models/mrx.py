@@ -43,6 +43,16 @@ class MultiResolutionCrossNet(nn.Module, SeparationModelMixin):
     sources: Tuple[str, ...] = tuple(__sources__)
     eps: float = EPS
 
+    def _window(self, n_fft: int) -> jnp.ndarray:
+        """Analysis/synthesis window for one resolution. The reference swaps
+        to a RECTANGULAR window when hop == n_fft (mrx.py:343-346, 374-377):
+        non-overlapping Hann frames would zero the frame edges and the iSTFT
+        window-sum normalization would divide by ~0. The published
+        baseline.yaml hits this (fft_size [1024, 2048, 4096], hop 1024)."""
+        if self.hop_length == n_fft:
+            return jnp.ones((n_fft,), jnp.float32)
+        return build_window(n_fft, self.window_fn)
+
     @nn.compact
     def __call__(self, input, train: bool = False):
         C, H = self.in_channels, self.hidden_channels
@@ -55,7 +65,7 @@ class MultiResolutionCrossNet(nn.Module, SeparationModelMixin):
         # the usual reflect-centered torch.stft. Reproduced exactly.
         latents, enc_feats = [], []
         for i, nf in enumerate(n_ffts):
-            w = build_window(nf, self.window_fn)
+            w = self._window(nf)
             pad = nf // 2
             xp = jnp.pad(input, ((0, 0), (0, 0), (pad, pad + self.hop_length)))
             spec = stft(xp, nf, self.hop_length, window=w, center=False)  # (B, C, F, S)
@@ -91,7 +101,7 @@ class MultiResolutionCrossNet(nn.Module, SeparationModelMixin):
                 scale_out = self.param(f"scale_out_{source}_{i}", nn.initializers.ones, (n_bins,))
                 bias_out = self.param(f"bias_out_{source}_{i}", nn.initializers.zeros, (n_bins,))
                 mask = nn.relu(scale_out[:, None] * h + bias_out[:, None])
-                w = build_window(nf, self.window_fn)
+                w = self._window(nf)
                 y = istft(mask * latents[i], nf, self.hop_length, window=w, length=T)
                 per_res.append(y)
             outputs.append(jnp.sum(jnp.stack(per_res, axis=0), axis=0))

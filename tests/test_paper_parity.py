@@ -31,6 +31,13 @@ Reference configs:
   N6 J8, low-dimension), README.md:5
 - LSTM-TasNet: egs/wsj0-mix/lstm-tasnet/train.sh:24-33 (N500 L40 H500 X2
   R2, gated encoder, sigmoid mask), README.md:5
+- DANet / ADANet: egs/wsj0-mix/{danet,adanet}/train.sh (n_fft 256 -> 129
+  bins, K=20, H=300, B=4; ADANet N=6 anchors)
+- MMDenseNet: egs/musdb18/mm-densenet/config/paper/vocals.yaml (low 512 +
+  high 513 sections, 7-block growth schedules)
+- MRX: egs/musdb18/mrx/config/baseline.yaml (fft [1024, 2048, 4096],
+  hop 1024, causal, 4 stems) — caught a real at-scale bug: the reference
+  swaps to a rectangular window when hop == n_fft (models/mrx.py:_window)
 """
 import os
 import sys
@@ -367,3 +374,119 @@ def test_lstm_tasnet_paper_scale_parity(reference_src):
     ours = model.apply(params, jnp.asarray(x.numpy()))
     assert ours.shape == expected.shape
     assert _rel_err(ours, expected) < 1e-3
+
+
+def test_danet_paper_scale_parity(reference_src):
+    """DANet at the published recipe config (egs/wsj0-mix/danet/train.sh:
+    n_fft 256 -> 129 bins, K=20 embed, H=300, 4 biLSTM blocks) on a 100-frame
+    ideal-binary-mask assignment — the pretrained-family config, vs the toy
+    17-bin parity test."""
+    from models.danet import DANet as RefDANet
+
+    from dnn_based_source_separation_tpu.hub.torch_convert import convert_danet
+    from dnn_based_source_separation_tpu.models.danet import DANet
+
+    torch.manual_seed(20)
+    n_bins, frames = 129, 100
+    ref = RefDANet(n_bins, embed_dim=20, hidden_channels=300, num_blocks=4,
+                   dropout=0, causal=False).eval()
+    x = torch.rand(1, 1, n_bins, frames)
+    assignment = torch.zeros(1, 2, n_bins, frames)
+    assignment[:, 0, : n_bins // 2] = 1.0
+    assignment[:, 1, n_bins // 2 :] = 1.0
+    threshold_weight = torch.ones(1, 1, n_bins, frames)
+    with torch.no_grad():
+        expected = ref(x, assignment=assignment,
+                       threshold_weight=threshold_weight).numpy()
+
+    model = DANet(n_bins=n_bins, embed_dim=20, hidden_channels=300,
+                  num_blocks=4, causal=False)
+    params = _to_jax(convert_danet(dict(ref.state_dict()), ref.get_config()))
+    ours = model.apply(params, jnp.asarray(x.numpy()),
+                       assignment=jnp.asarray(assignment.numpy()),
+                       threshold_weight=jnp.asarray(threshold_weight.numpy()))
+    assert ours.shape == expected.shape
+    assert _rel_err(ours, expected) < 1e-3
+
+
+def test_adanet_paper_scale_parity(reference_src):
+    """ADANet at the published recipe config (egs/wsj0-mix/adanet/train.sh:
+    129 bins, K=20, H=300, B=4 blocks, N=6 anchors): the 15-combination
+    anchor softmax-assignment path at real width."""
+    from models.adanet import ADANet as RefADANet
+
+    from dnn_based_source_separation_tpu.hub.torch_convert import convert_adanet
+    from dnn_based_source_separation_tpu.models.adanet import ADANet
+
+    torch.manual_seed(21)
+    n_bins, frames = 129, 100
+    ref = RefADANet(n_bins, embed_dim=20, hidden_channels=300, num_blocks=4,
+                    num_anchors=6, dropout=0, causal=False).eval()
+    x = torch.rand(1, 1, n_bins, frames)
+    with torch.no_grad():
+        expected = ref(x, n_sources=2).numpy()
+
+    model = ADANet(n_bins=n_bins, embed_dim=20, hidden_channels=300,
+                   num_blocks=4, num_anchors=6, causal=False)
+    params = _to_jax(convert_adanet(dict(ref.state_dict()), ref.get_config()))
+    ours = model.apply(params, jnp.asarray(x.numpy()), n_sources=2)
+    assert ours.shape == expected.shape
+    assert _rel_err(ours, expected) < 1e-3
+
+
+def test_mm_densenet_paper_scale_parity(reference_src):
+    """MMDenseNet from the published paper/vocals.yaml: low (512 sections) +
+    high (513) bands + full band over all 1025 bins (2048-FFT analysis),
+    7-block growth schedules, 192 frames."""
+    from models.mm_densenet import MMDenseNet as RefMMDenseNet
+
+    from dnn_based_source_separation_tpu.hub.torch_convert import convert_mm_densenet
+    from dnn_based_source_separation_tpu.utils.config import (
+        build_mmdensenet_from_config,
+    )
+
+    cfg_path = os.path.join(
+        REFERENCE_EGS, "musdb18/mm-densenet/config/paper/vocals.yaml")
+    if not os.path.exists(cfg_path):
+        pytest.skip("reference recipe configs not available")
+
+    torch.manual_seed(22)
+    ref = RefMMDenseNet.build_from_config(cfg_path).eval()
+    x = torch.rand(1, 2, 1025, 192)
+    with torch.no_grad():
+        expected = ref(x).numpy()
+
+    model = build_mmdensenet_from_config(cfg_path)
+    variables = _to_jax(convert_mm_densenet(dict(ref.state_dict()), ref.get_config()))
+    ours = model.apply(variables, jnp.asarray(x.numpy()))
+    assert ours.shape == expected.shape
+    assert _rel_err(ours, expected) < 1e-3
+
+
+def test_mrx_paper_scale_parity(reference_src):
+    """MRX at the published baseline.yaml (egs/musdb18/mrx/config/baseline.yaml):
+    three causal 3-layer LSTM branches at 512 hidden over 1024/2048/4096-FFT
+    resolutions (hop 1024), 4 stems, 4 s of 44.1 kHz stereo — exercises the
+    in-model STFT/iSTFT frame alignment across resolutions at real scale."""
+    from models.mrx import MultiResolutionCrossNet as RefMRX
+
+    from dnn_based_source_separation_tpu.hub.torch_convert import convert_mrx
+    from dnn_based_source_separation_tpu.models.mrx import MultiResolutionCrossNet
+
+    torch.manual_seed(23)
+    kwargs = dict(hidden_channels=512, num_layers=3,
+                  n_fft=[1024, 2048, 4096], hop_length=1024,
+                  causal=True, sources=["bass", "drums", "other", "vocals"])
+    ref = RefMRX(2, **kwargs).eval()
+    x = torch.randn(1, 1, 2, 176400)  # 4 s @ 44.1 kHz stereo
+    with torch.no_grad():
+        expected = ref(x).numpy()
+
+    model = MultiResolutionCrossNet(
+        in_channels=2, **{**kwargs, "n_fft": tuple(kwargs["n_fft"]),
+                          "sources": tuple(kwargs["sources"])})
+    variables = _to_jax(convert_mrx(dict(ref.state_dict()), ref.get_config()))
+    ours = model.apply(variables, jnp.asarray(x.numpy()[:, 0]))
+    expected_sq = expected.squeeze(0)[None] if expected.ndim == 3 else expected
+    assert ours.shape == expected_sq.shape
+    assert _rel_err(ours, expected_sq) < 1e-3

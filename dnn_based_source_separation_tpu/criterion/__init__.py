@@ -34,4 +34,5 @@ from .metric_learn import (
     TripletWithDistanceLoss,
     arcface_logits,
 )
+from .mixit import MixIT, mixit, mixture_assignment_table
 from .stubs import MixITLoss, HungarianLoss, ProbPIT

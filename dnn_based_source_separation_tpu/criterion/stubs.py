@@ -4,15 +4,21 @@ The reference ships these unimplemented: MixIT (`src/criterion/mixit.py:4-9`
 raises NotImplementedError), HungarianLoss (`src/criterion/hungarian.py:8-13`)
 and ProbPIT (`src/criterion/pit.py:215`). They are declared here so API
 surface parity is explicit; calling them raises with the same intent.
+
+MixIT is FULLY IMPLEMENTED in `criterion/mixit.py` (beyond the reference);
+the `MixITLoss` name below stays as the stub-parity alias pointing there.
 """
 from __future__ import annotations
 
 
 class MixITLoss:
-    """Mixture-invariant training loss (unimplemented in the reference)."""
+    """Stub-parity alias: the real implementation is `criterion.mixit.MixIT`."""
 
     def __call__(self, *args, **kwargs):
-        raise NotImplementedError("MixIT is a stub in the reference (src/criterion/mixit.py:4-9).")
+        raise NotImplementedError(
+            "MixIT is a stub in the reference (src/criterion/mixit.py:4-9); "
+            "this framework implements it fully — use "
+            "dnn_based_source_separation_tpu.criterion.MixIT instead.")
 
 
 class HungarianLoss:

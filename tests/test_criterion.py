@@ -118,3 +118,77 @@ def test_affinity_loss_zero_for_identical_partition():
     V = rng.standard_normal((B, n_samples, 5)).astype(np.float32)
     loss2 = AffinityLoss()(jnp.asarray(V), jnp.asarray(Y))
     assert float(loss2) > 0.0
+
+
+def test_mixit_matches_bruteforce():
+    from dnn_based_source_separation_tpu.criterion import mixit
+
+    rng = np.random.default_rng(8)
+    B, M, n_mix, T = 3, 4, 2, 400
+    est = rng.standard_normal((B, M, T)).astype(np.float32)
+    mixes = rng.standard_normal((B, n_mix, T)).astype(np.float32)
+    crit = NegSISDR()
+    loss, assign = mixit(crit, jnp.asarray(est), jnp.asarray(mixes), batch_mean=False)
+    loss, assign = np.asarray(loss), np.asarray(assign)
+
+    for b in range(B):
+        best = np.inf
+        for a in itertools.product(range(n_mix), repeat=M):
+            sums = np.zeros((n_mix, T), np.float32)
+            for i, m in enumerate(a):
+                sums[m] += est[b, i]
+            val = float(np.mean([
+                -np.mean(np.asarray(sisdr(jnp.asarray(sums[m][None]),
+                                          jnp.asarray(mixes[b, m][None]))))
+                for m in range(n_mix)
+            ]))
+            best = min(best, val)
+        np.testing.assert_allclose(loss[b], best, rtol=1e-5)
+
+
+def test_mixit_recovers_partition():
+    """When the estimates ARE the constituent sources, the optimum routes
+    each one back to its own mixture and the loss is near-perfect."""
+    from dnn_based_source_separation_tpu.criterion import MixIT
+
+    rng = np.random.default_rng(9)
+    B, T = 2, 600
+    s = rng.standard_normal((B, 4, T)).astype(np.float32)
+    mix1 = s[:, 0] + s[:, 1]
+    mix2 = s[:, 2] + s[:, 3]
+    mixes = np.stack([mix1, mix2], axis=1)
+    crit = MixIT(NegSISDR(), n_est=4, n_mix=2)
+    loss, assign = crit(jnp.asarray(s), jnp.asarray(mixes))
+    assert float(loss) < -100.0  # exact reconstruction after assignment
+    np.testing.assert_array_equal(np.asarray(assign),
+                                  np.tile([0, 0, 1, 1], (B, 1)))
+
+
+def test_mixit_invariant_to_estimate_order():
+    from dnn_based_source_separation_tpu.criterion import MixIT
+
+    rng = np.random.default_rng(10)
+    B, M, T = 2, 4, 300
+    est = rng.standard_normal((B, M, T)).astype(np.float32)
+    mixes = rng.standard_normal((B, 2, T)).astype(np.float32)
+    crit = MixIT(NegSISDR(), n_est=M, n_mix=2)
+    l1, _ = crit(jnp.asarray(est), jnp.asarray(mixes))
+    perm = [2, 0, 3, 1]
+    l2, _ = crit(jnp.asarray(est[:, perm]), jnp.asarray(mixes))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
+def test_mixit_jit_and_grad():
+    import jax
+
+    from dnn_based_source_separation_tpu.criterion import MixIT
+
+    rng = np.random.default_rng(11)
+    est = jnp.asarray(rng.standard_normal((2, 3, 200)), jnp.float32)
+    mixes = jnp.asarray(rng.standard_normal((2, 2, 200)), jnp.float32)
+    crit = MixIT(NegSISDR(), n_est=3, n_mix=2)
+
+    loss_fn = jax.jit(lambda e: crit(e, mixes)[0])
+    g = jax.grad(loss_fn)(est)
+    assert np.isfinite(float(loss_fn(est)))
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0

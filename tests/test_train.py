@@ -419,3 +419,37 @@ def test_overfit_dprnn_tasnet_bf16_to_convergence():
 
     sdri = _si_sdri(model, params, mixture, sources)
     assert sdri > 20.0, f"bf16 overfit SI-SDRi only {sdri:.2f} dB (loss {float(loss):.2f})"
+
+
+def test_mixit_unsupervised_training_improves():
+    """MixIT end-to-end through the real train step: a model fed the
+    mixture-of-mixtures, supervised only by the two mixtures (never the
+    sources), must improve its mixture-reconstruction SI-SDR — the
+    unsupervised protocol of arXiv:2006.12701 (a stub in the reference)."""
+    from dnn_based_source_separation_tpu.criterion import MixIT
+
+    model = ConvTasNet(
+        n_basis=32, kernel_size=8, stride=4, enc_basis="trainable",
+        dec_basis="trainable", enc_nonlinear="relu",
+        sep_hidden_channels=32, sep_bottleneck_channels=16, sep_skip_channels=16,
+        sep_num_blocks=2, sep_num_layers=2, causal=False, n_sources=4,
+    )
+    rng = np.random.default_rng(12)
+    B, T = 4, 400
+    s = rng.standard_normal((B, 4, T)).astype(np.float32)
+    mixes = jnp.asarray(np.stack([s[:, 0] + s[:, 1], s[:, 2] + s[:, 3]], axis=1))
+    mom = jnp.sum(mixes, axis=1, keepdims=True)  # mixture of mixtures
+
+    params = model.init(jax.random.PRNGKey(0), mom)
+    opt = make_optimizer("adam", 5e-3, max_norm=5.0)
+    opt_state = opt.init(params["params"])
+    criterion = MixIT(NegSISDR(), n_est=4, n_mix=2)
+    step = make_train_step(model, criterion, opt)
+
+    loss0 = None
+    for _ in range(150):
+        params, opt_state, loss = step(params, opt_state, mom, mixes)
+        if loss0 is None:
+            loss0 = float(loss)
+    assert float(loss) < loss0 - 10.0, (
+        f"MixIT loss only moved {loss0:.2f} -> {float(loss):.2f}")

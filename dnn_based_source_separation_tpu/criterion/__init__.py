@@ -20,7 +20,7 @@ from .sdr import (
     WeightedSDR,
     NegWeightedSDR,
 )
-from .pit import pit, sinkpit, orpit, PIT, PIT1d, PIT2d, ORPIT, SinkPIT
+from .pit import pit, prob_pit, sinkpit, orpit, PIT, PIT1d, PIT2d, ORPIT, ProbPIT, SinkPIT
 from .combination import CombinationLoss
 from .deep_clustering import AffinityLoss
 from .distance import L1Loss, L2Loss, MSELoss, MAELoss, CosineSimilarityLoss
@@ -34,5 +34,5 @@ from .metric_learn import (
     TripletWithDistanceLoss,
     arcface_logits,
 )
+from .hungarian import HungarianLoss, hungarian_pit
 from .mixit import MixIT, mixit, mixture_assignment_table
-from .stubs import MixITLoss, HungarianLoss, ProbPIT

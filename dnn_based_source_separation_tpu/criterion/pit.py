@@ -134,6 +134,45 @@ def sinkpit(criterion, input, target, n_sources: int | None = None, coldness: fl
     return loss, P
 
 
+def prob_pit(criterion, input, target, n_sources: int | None = None, patterns=None,
+             gamma: float = 1.0, batch_mean: bool = True):
+    """Probabilistic PIT (Yousefi & Hansen 2019, arXiv:1908.01768) — a stub
+    in the reference (`pit.py:215`), implemented here: instead of the hard
+    min over permutations, marginalize over all of them with a soft-min,
+
+        loss = -gamma * (logsumexp(-L_p / gamma) - log n!)
+
+    which trains through EVERY permutation weighted by its likelihood
+    (softmax(-L/gamma)) and converges to exhaustive PIT as gamma -> 0.
+    Reuses the same vmap-over-permutation-table machinery as `pit`.
+
+    Returns (loss, pattern) with pattern the most likely permutation.
+    """
+    if patterns is None:
+        n = n_sources if n_sources is not None else input.shape[1]
+        patterns = permutation_table(n)
+    patterns = jnp.asarray(patterns)
+
+    def loss_for_perm(perm):
+        return criterion(input, target[:, perm], batch_mean=False)  # (B,)
+
+    possible = jax.vmap(loss_for_perm)(patterns)  # (P, B)
+    possible = jnp.swapaxes(possible, 0, 1)  # (B, P)
+    P = patterns.shape[0]
+
+    maximize = bool(getattr(criterion, "maximize", False))
+    signed = -possible if maximize else possible
+    loss = -gamma * (
+        jax.scipy.special.logsumexp(-signed / gamma, axis=1) - jnp.log(P))
+    if maximize:
+        loss = -loss
+    indices = jnp.argmin(signed, axis=1)
+
+    if batch_mean:
+        loss = jnp.mean(loss, axis=0)
+    return loss, patterns[indices]
+
+
 @dataclasses.dataclass(frozen=True)
 class PIT:
     criterion: object
@@ -160,6 +199,22 @@ class ORPIT:
 
     def __call__(self, input, target, n_sources=None, batch_mean: bool = True):
         return orpit(self.criterion, input, target, n_sources=n_sources, batch_mean=batch_mean)
+
+
+@dataclasses.dataclass(frozen=True)
+class ProbPIT:
+    """Soft-min PIT marginalizing over all permutations (see `prob_pit`)."""
+
+    criterion: object
+    n_sources: int
+    gamma: float = 1.0
+
+    def __post_init__(self):
+        object.__setattr__(self, "patterns", permutation_table(self.n_sources))
+
+    def __call__(self, input, target, batch_mean: bool = True):
+        return prob_pit(self.criterion, input, target, patterns=self.patterns,
+                        gamma=self.gamma, batch_mean=batch_mean)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -192,3 +192,73 @@ def test_mixit_jit_and_grad():
     g = jax.grad(loss_fn)(est)
     assert np.isfinite(float(loss_fn(est)))
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
+
+
+def test_hungarian_matches_exhaustive_pit():
+    from dnn_based_source_separation_tpu.criterion import HungarianLoss
+
+    rng = np.random.default_rng(13)
+    for n in (2, 3, 4):
+        B, T = 3, 300
+        est = jnp.asarray(rng.standard_normal((B, n, T)), jnp.float32)
+        tgt = jnp.asarray(rng.standard_normal((B, n, T)), jnp.float32)
+        l_pit, p_pit = pit(NegSISDR(), est, tgt, n_sources=n, batch_mean=False)
+        l_hun, p_hun = HungarianLoss(NegSISDR())(est, tgt, batch_mean=False)
+        np.testing.assert_allclose(np.asarray(l_hun), np.asarray(l_pit), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(p_hun), np.asarray(p_pit))
+
+
+def test_hungarian_scales_past_exhaustive_range():
+    """n=8 (8! = 40320 permutations — infeasible for table PIT) solves in
+    one jitted call and finds the planted permutation."""
+    import jax as _jax
+
+    from dnn_based_source_separation_tpu.criterion import HungarianLoss
+
+    rng = np.random.default_rng(14)
+    B, n, T = 2, 8, 400
+    src = rng.standard_normal((B, n, T)).astype(np.float32)
+    perm = rng.permutation(n)
+    est = jnp.asarray(src[:, perm])
+    crit = HungarianLoss(NegSISDR())
+    loss, pattern = _jax.jit(lambda e, t: crit(e, t))(est, jnp.asarray(src))
+    assert float(loss) < -100.0  # exact recovery
+    np.testing.assert_array_equal(np.asarray(pattern),
+                                  np.tile(perm, (B, 1)))
+
+
+def test_prob_pit_converges_to_pit_at_low_gamma():
+    from dnn_based_source_separation_tpu.criterion import ProbPIT
+
+    rng = np.random.default_rng(15)
+    B, n, T = 3, 3, 300
+    est = jnp.asarray(rng.standard_normal((B, n, T)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((B, n, T)), jnp.float32)
+    l_pit, p_pit = pit(NegSISDR(), est, tgt, n_sources=n, batch_mean=False)
+    l_prob, p_prob = ProbPIT(NegSISDR(), n_sources=n, gamma=1e-4)(
+        est, tgt, batch_mean=False)
+    np.testing.assert_allclose(np.asarray(l_prob), np.asarray(l_pit), atol=1e-2)
+    np.testing.assert_array_equal(np.asarray(p_prob), np.asarray(p_pit))
+
+
+def test_prob_pit_matches_explicit_logsumexp():
+    from dnn_based_source_separation_tpu.criterion import prob_pit
+    from dnn_based_source_separation_tpu.criterion.pit import permutation_table
+
+    rng = np.random.default_rng(16)
+    B, n, T, gamma = 2, 3, 200, 0.7
+    est = rng.standard_normal((B, n, T)).astype(np.float32)
+    tgt = rng.standard_normal((B, n, T)).astype(np.float32)
+    loss, _ = prob_pit(NegSISDR(), jnp.asarray(est), jnp.asarray(tgt),
+                       gamma=gamma, batch_mean=False)
+
+    pats = permutation_table(n)
+    for b in range(B):
+        vals = []
+        for perm in pats:
+            vals.append(-np.mean(np.asarray(
+                sisdr(jnp.asarray(est[b]), jnp.asarray(tgt[b, list(perm)])))))
+        vals = np.asarray(vals)
+        expected = -gamma * (
+            np.log(np.sum(np.exp(-vals / gamma))) - np.log(len(pats)))
+        np.testing.assert_allclose(np.asarray(loss)[b], expected, rtol=1e-4)

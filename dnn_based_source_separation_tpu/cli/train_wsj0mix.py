@@ -70,6 +70,14 @@ def build_parser():
     p.add_argument("--mask_nonlinear", type=str, default="sigmoid")
     # optimization
     p.add_argument("--criterion", type=str, default="sisdr")
+    p.add_argument("--pit", type=str, default="exhaustive",
+                   choices=["exhaustive", "hungarian", "prob", "sink"],
+                   help="permutation search: exhaustive n!-table PIT "
+                        "(reference behavior), hungarian O(n^3) exact "
+                        "matching (use for n_sources > 5), prob soft-min "
+                        "ProbPIT, sink Sinkhorn relaxation")
+    p.add_argument("--pit_gamma", type=float, default=1.0,
+                   help="ProbPIT temperature (--pit prob)")
     p.add_argument("--optimizer", type=str, default="adam")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--max_norm", type=float, default=5.0)
@@ -151,7 +159,18 @@ def main(args=None):
 
     if args.criterion != "sisdr":
         raise ValueError(f"Unsupported criterion: {args.criterion}")
-    criterion = PIT1d(NegSISDR(), n_sources=args.n_sources)
+    if args.pit == "hungarian":
+        from ..criterion import HungarianLoss
+        criterion = HungarianLoss(NegSISDR())
+    elif args.pit == "prob":
+        from ..criterion import ProbPIT
+        criterion = ProbPIT(NegSISDR(), n_sources=args.n_sources,
+                            gamma=args.pit_gamma)
+    elif args.pit == "sink":
+        from ..criterion import SinkPIT
+        criterion = SinkPIT(NegSISDR(), n_sources=args.n_sources)
+    else:
+        criterion = PIT1d(NegSISDR(), n_sources=args.n_sources)
 
     trainer = Trainer(
         model, train_loader, valid_loader, criterion, optimizer, config,

@@ -11,11 +11,13 @@ from .sdr import (
     EPS,
     sdr,
     sisdr,
+    thresholded_snr,
     weighted_sdr,
     SDR,
     NegSDR,
     SISDR,
     NegSISDR,
+    NegThresholdedSNR,
     ClippedSISDR,
     WeightedSDR,
     NegWeightedSDR,

@@ -12,6 +12,15 @@ Protocol matches the PIT family: criteria are callables
 `(input, target, batch_mean=False) -> (B,)` with a `maximize` attribute;
 `mixit` returns `(loss, assignment)` where assignment (B, n_est) gives the
 mixture index each estimated source was matched to.
+
+The paper trains with thresholded SNR (`criterion.NegThresholdedSNR`),
+which bounds the per-source loss so solved sources stop dominating.
+Note a structural property of the objective (any criterion): assignments
+that route EVERY estimate to one mixture leave the other an empty (zero)
+sum scoring ~0 dB, which is a viable local optimum when the model can
+memorize its training items — use enough mixture variety that
+reconstructing one mixture exactly from the mixture-of-mixtures is
+impossible, as in the paper's large-corpus setting.
 """
 from __future__ import annotations
 

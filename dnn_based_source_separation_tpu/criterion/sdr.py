@@ -33,6 +33,24 @@ def sisdr(input, target, eps: float = EPS):
     return 10.0 * jnp.log10(num / den)
 
 
+def thresholded_snr(input, target, threshold_db: float = 30.0, eps: float = EPS):
+    """Soft-thresholded SNR in dB (MixIT paper, arXiv:2006.12701 eq. 2):
+
+        10*log10(||t||^2 / (||t - e||^2 + tau*||t||^2)),  tau = 10^(-thr/10)
+
+    The tau*||t||^2 term caps the achievable SNR at threshold_db, bounding
+    the loss (and its gradient) as reconstruction becomes near-perfect so
+    already-solved sources stop dominating training — the paper's stated
+    reason for thresholding. A zero estimate scores ~0 dB (as with
+    eps-guarded SI-SDR); the threshold changes the top of the range,
+    not the bottom.
+    """
+    tau = 10.0 ** (-threshold_db / 10.0)
+    t_pow = jnp.sum(jnp.square(target), axis=-1)
+    err = jnp.sum(jnp.square(target - input), axis=-1)
+    return 10.0 * jnp.log10((t_pow + eps) / (err + tau * t_pow + eps))
+
+
 def weighted_sdr(input, target, source_dim: int = 1, eps: float = EPS):
     """Weighted SDR ("Phase-Aware Speech Enhancement with Deep Complex U-Net").
 
@@ -116,6 +134,21 @@ class ClippedSISDR:
         loss = sisdr(input, target, eps=self.eps)
         if self.max is not None:
             loss = jnp.minimum(loss, self.max)
+        return _reduce(loss, self.reduction, batch_mean)
+
+
+@dataclasses.dataclass(frozen=True)
+class NegThresholdedSNR:
+    """MixIT's training loss (see `thresholded_snr`)."""
+
+    threshold_db: float = 30.0
+    reduction: str | None = "mean"
+    eps: float = EPS
+    maximize: bool = dataclasses.field(default=False, init=False)
+
+    def __call__(self, input, target, batch_mean: bool = True):
+        loss = -thresholded_snr(input, target, threshold_db=self.threshold_db,
+                                eps=self.eps)
         return _reduce(loss, self.reduction, batch_mean)
 
 

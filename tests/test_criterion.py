@@ -262,3 +262,41 @@ def test_prob_pit_matches_explicit_logsumexp():
         expected = -gamma * (
             np.log(np.sum(np.exp(-vals / gamma))) - np.log(len(pats)))
         np.testing.assert_allclose(np.asarray(loss)[b], expected, rtol=1e-4)
+
+
+def test_thresholded_snr_cap_and_monotonicity():
+    from dnn_based_source_separation_tpu.criterion import thresholded_snr
+
+    rng = np.random.default_rng(17)
+    t = jnp.asarray(rng.standard_normal((2, 500)), jnp.float32)
+    # Perfect estimate -> capped at +threshold_db (the paper's bound on
+    # already-solved sources), not unbounded like raw SDR.
+    hi = np.asarray(thresholded_snr(t, t, threshold_db=30.0))
+    np.testing.assert_allclose(hi, 30.0, atol=1e-3)
+    # Zero estimate sits near 0 dB (the threshold changes the top of the
+    # range, not the bottom).
+    lo = np.asarray(thresholded_snr(jnp.zeros_like(t), t, threshold_db=30.0))
+    np.testing.assert_allclose(lo, 0.0, atol=0.01)
+    # Monotone in reconstruction quality between those extremes.
+    mid1 = np.asarray(thresholded_snr(
+        t + 0.1 * jnp.asarray(rng.standard_normal((2, 500)), jnp.float32), t))
+    mid2 = np.asarray(thresholded_snr(
+        t + 0.5 * jnp.asarray(rng.standard_normal((2, 500)), jnp.float32), t))
+    assert np.all(mid1 > mid2) and np.all(mid1 < 30.0) and np.all(mid2 > 0.0)
+
+
+def test_mixit_thresholded_snr_prefers_proper_split():
+    """With good (not perfect) estimates of all four sources, the optimum
+    routes two to each mixture rather than hiding one behind an empty sum."""
+    from dnn_based_source_separation_tpu.criterion import NegThresholdedSNR, mixit
+
+    rng = np.random.default_rng(18)
+    B, T = 2, 500
+    s = rng.standard_normal((B, 4, T)).astype(np.float32)
+    noise = 0.3 * rng.standard_normal((B, 4, T)).astype(np.float32)
+    est = jnp.asarray(s + noise)
+    mixes = jnp.asarray(np.stack([s[:, 0] + s[:, 1], s[:, 2] + s[:, 3]], axis=1))
+    loss, assign = mixit(NegThresholdedSNR(), est, mixes, batch_mean=False)
+    assign = np.asarray(assign)
+    for b in range(B):
+        assert set(assign[b]) == {0, 1}, f"degenerate routing: {assign[b]}"

@@ -11,8 +11,9 @@ so this matches the offline pass; cumulative layer norm is the one
 stream-dependent piece (offline it accumulates statistics from the stream
 start, streamed from the window start), bounding agreement at ~23 dB for a
 random-weight Conv-TasNet (tests/test_longform.py) — well below trained
-separation error. An exactly-streaming cLN would carry running sums as
-explicit state (future work, see ROADMAP).
+separation error. For zero-deviation serving use `ExactStreamingSeparator`
+below, which carries per-layer state (cLN running sums, dilated-conv left
+contexts, encoder/decoder sample carries) and matches offline exactly.
 
 Usage:
     stream = StreamingSeparator(model, params, hop_samples=4000,
@@ -65,3 +66,123 @@ class StreamingSeparator:
 
     def reset(self):
         self._buf[:] = 0.0
+
+
+class ExactStreamingSeparator:
+    """Chunk-by-chunk causal Conv-TasNet that matches the offline forward
+    EXACTLY (float rounding only), via per-layer state instead of a rolling
+    window:
+
+      * encoder framing — a (kernel_size - stride)-sample input carry, so
+        chunked framing produces the same latent frames as one offline pass;
+      * cumulative layer norm — running (count, sum, sum-of-squares) carried
+        in a flax 'stream' collection (`ops/norms.py:CumulativeLayerNorm`);
+      * dilated causal convs — each residual block carries its own
+        (kernel-1)*dilation post-norm frames as left context
+        (`models/tdcn.py:ResidualBlock1d`); zero initial state IS the
+        offline zero padding;
+      * decoder — overlap-add tail carry of (kernel_size - stride) samples.
+
+    One jitted step per chunk shape: (params, state, samples) ->
+    (estimates, state). Contrast `StreamingSeparator` above, whose windowed
+    cLN only agrees with offline to ~23 dB; this is exact, so streamed
+    serving has zero quality deviation from the offline model.
+
+    Usage:
+        stream = ExactStreamingSeparator(model, variables, hop_samples=4000)
+        for block in blocks:            # (hop,) or (1, hop) float32
+            est = stream.process(block) # (n_sources, emitted) -- emitted ==
+                                        # hop once warmed up; the first call
+                                        # withholds kernel_size - stride
+                                        # samples, flush() returns them
+    """
+
+    def __init__(self, model, variables, hop_samples: int):
+        if not getattr(model, "causal", False):
+            raise ValueError("exact streaming requires a causal model")
+        if getattr(model, "dec_basis", "trainable") == "pinv":
+            raise NotImplementedError("pinv decoding is not streamed")
+        L = int(model.kernel_size)
+        S = int(model.stride or model.kernel_size // 2)
+        if hop_samples % S or hop_samples < L:
+            raise ValueError(
+                f"hop_samples must be a multiple of stride={S} and >= "
+                f"kernel_size={L}")
+        self.hop, self.L, self.S = int(hop_samples), L, S
+        self.params = {"params": variables["params"]}
+        self._model = model
+        self._pending = np.zeros((1, 0), np.float32)  # unframed input samples
+        self._tail = None  # decoder OLA carry, (n_src, L - S)
+        self._state = None  # separator 'stream' collection
+        self._steps = {}
+
+        def step(params, state, x, tail):
+            # x: (1, T_in) with (T_in - L) % S == 0; replicates
+            # skeleton.extract_latent chunk-wise.
+            xin = x[:, None, :]  # (B=1, C=1, T)
+            xcl = jnp.moveaxis(xin, 1, 2)
+            w = self._model.apply(
+                params, xcl, method=lambda m, a: m.encoder(a))
+            mask, mut = self._model.apply(
+                {**params, "stream": state}, w,
+                method=lambda m, a: m.separator(a), mutable=["stream"])
+            w_hat = w[:, None] * mask
+            x_hat = self._model.apply(
+                params, w_hat, method=lambda m, a: m.decoder(a))[..., 0]
+            x_hat = x_hat[0]  # (n_src, (n_f-1)*S + L)
+            n_out = x_hat.shape[-1] - (L - S)
+            head = x_hat[..., : L - S] + tail
+            emitted = jnp.concatenate([head, x_hat[..., L - S : n_out]], -1)
+            new_tail = x_hat[..., n_out:]
+            return emitted, mut["stream"], new_tail
+
+        self._step = step
+
+    def _compiled(self, t_in: int):
+        if t_in not in self._steps:
+            self._steps[t_in] = jax.jit(self._step)
+        return self._steps[t_in]
+
+    def _prime(self, x):
+        """Create the 'stream' state tree (flax lazily double-runs the first
+        mutable apply — prime on a dummy, then zero the tree)."""
+        w = self._model.apply(
+            self.params, jnp.moveaxis(x[:, None, :], 1, 2),
+            method=lambda m, a: m.encoder(a))
+        _, mut = self._model.apply(
+            self.params, w, method=lambda m, a: m.separator(a),
+            mutable=["stream"])
+        self._state = jax.tree_util.tree_map(jnp.zeros_like, mut["stream"])
+
+    def process(self, block: np.ndarray) -> np.ndarray:
+        """block (hop,) or (1, hop) new samples -> (n_sources, emitted)."""
+        block = np.asarray(block, np.float32)
+        if block.ndim == 1:
+            block = block[None]
+        assert block.shape[-1] == self.hop, (
+            f"blocks must be exactly hop={self.hop} samples")
+        buf = np.concatenate([self._pending, block], axis=-1)
+        n_f = (buf.shape[-1] - self.L) // self.S + 1
+        t_in = (n_f - 1) * self.S + self.L
+        x = jnp.asarray(buf[:, :t_in])
+        self._pending = buf[:, n_f * self.S :]
+        if self._state is None:
+            self._prime(x)
+            n_src = int(self._model.n_sources)
+            self._tail = jnp.zeros((n_src, self.L - self.S), jnp.float32)
+        emitted, self._state, self._tail = self._compiled(t_in)(
+            self.params, self._state, x, self._tail)
+        return np.asarray(emitted)
+
+    def flush(self) -> np.ndarray:
+        """Emit the final overlap-add tail (kernel_size - stride samples)."""
+        out = np.asarray(self._tail) if self._tail is not None else \
+            np.zeros((int(self._model.n_sources), self.L - self.S), np.float32)
+        self._tail = jnp.zeros_like(self._tail) if self._tail is not None else None
+        return out
+
+    def reset(self):
+        self._pending = np.zeros((1, 0), np.float32)
+        if self._state is not None:
+            self._state = jax.tree_util.tree_map(jnp.zeros_like, self._state)
+            self._tail = jnp.zeros_like(self._tail)

@@ -105,7 +105,22 @@ class ResidualBlock1d(nn.Module):
             pl, pr = padding, 0
         else:
             pl, pr = padding // 2, padding - padding // 2
-        h = jnp.pad(h, ((0, 0), (pl, pr), (0, 0)))
+        if (self.causal and padding > 0 and self.is_mutable_collection("stream")
+                and not self.is_initializing()):
+            # Exact streaming: the left context is the tail of the previous
+            # chunk's (post-norm) activations instead of zeros; the zero
+            # initial state IS the offline zero padding, so chunked equals
+            # offline exactly. Only the dilated stride-1 topology streams.
+            if self.stride != 1:
+                raise NotImplementedError(
+                    "exact streaming requires stride-1 residual blocks")
+            ctx = self.variable(
+                "stream", "ctx",
+                lambda: jnp.zeros(h.shape[:-2] + (pl, h.shape[-1]), h.dtype))
+            h = jnp.concatenate([ctx.value, h], axis=-2)
+            ctx.value = h[..., -pl:, :]
+        else:
+            h = jnp.pad(h, ((0, 0), (pl, pr), (0, 0)))
 
         if self.separable:
             output, skip = DepthwiseSeparableConv1d(

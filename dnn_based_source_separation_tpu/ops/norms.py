@@ -46,7 +46,15 @@ class GlobalLayerNorm(nn.Module):
 
 
 class CumulativeLayerNorm(nn.Module):
-    """Causal cLN for channels-last inputs (..., T, N)."""
+    """Causal cLN for channels-last inputs (..., T, N).
+
+    Exact streaming: when applied with the 'stream' collection mutable
+    (`model.apply(vars, x, mutable=['stream'])`), the running (count, sum,
+    sum-of-squares) persist across calls, so chunk-by-chunk application
+    reproduces the offline cumulative statistics EXACTLY — the piece the
+    windowed streaming wrapper could only approximate (models/streaming.py).
+    Offline applies (no mutable 'stream') are untouched.
+    """
 
     features: int
     eps: float = 1e-8
@@ -55,7 +63,32 @@ class CumulativeLayerNorm(nn.Module):
     def __call__(self, x):
         gamma = self.param("gamma", nn.initializers.ones, (self.features,))
         beta = self.param("beta", nn.initializers.zeros, (self.features,))
-        return cumulative_layer_norm(x, gamma, beta, self.eps)
+        if not self.is_mutable_collection("stream") or self.is_initializing():
+            return cumulative_layer_norm(x, gamma, beta, self.eps)
+
+        # Carried stats: (..., 1, 3) = [frame count, sum, sum of squares]
+        # per batch element; zeros == stream start, matching offline.
+        stats = self.variable(
+            "stream", "stats",
+            lambda: jnp.zeros(x.shape[:-2] + (1, 3), jnp.float32))
+        t0, s0, q0 = (stats.value[..., 0], stats.value[..., 1],
+                      stats.value[..., 2])
+        N = x.shape[-1]
+        xf = x.astype(jnp.float32)
+        t_idx = jnp.arange(1, x.shape[-2] + 1, dtype=jnp.float32)[:, None]
+        t_count = (t0[..., None] + t_idx) * N  # (..., T, 1)
+        cum_sum = s0[..., None] + jnp.cumsum(
+            jnp.sum(xf, axis=-1, keepdims=True), axis=-2)
+        cum_sq = q0[..., None] + jnp.cumsum(
+            jnp.sum(jnp.square(xf), axis=-1, keepdims=True), axis=-2)
+        mean = cum_sum / t_count
+        var = cum_sq / t_count - jnp.square(mean)
+        out = gamma * (x - mean.astype(x.dtype)) / jnp.sqrt(
+            var + self.eps).astype(x.dtype) + beta
+        stats.value = jnp.concatenate(
+            [t0 + x.shape[-2], cum_sum[..., -1, :], cum_sq[..., -1, :]],
+            axis=-1)[..., None, :]
+        return out
 
 
 class ChannelLayerNorm(nn.Module):

@@ -1,5 +1,6 @@
 """Long-form chunked-scan inference tests."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -79,3 +80,85 @@ def test_streaming_matches_offline_for_causal_model():
     a, b = streamed[..., ctx:], offline[..., ctx:]
     snr = 10 * np.log10(float((b ** 2).sum()) / float(((a - b) ** 2).sum()))
     assert snr > 20.0, f"streamed/offline agreement too low: {snr:.1f} dB"
+
+
+def _causal_tiny(n_basis=16, L=16, S=8):
+    from dnn_based_source_separation_tpu.models import ConvTasNet
+
+    return ConvTasNet(
+        n_basis=n_basis, kernel_size=L, stride=S, enc_basis="trainable",
+        dec_basis="trainable", enc_nonlinear="relu",
+        sep_hidden_channels=16, sep_bottleneck_channels=8, sep_skip_channels=8,
+        sep_num_blocks=2, sep_num_layers=3, causal=True, n_sources=2,
+    )
+
+
+@pytest.mark.parametrize("hop", [400, 160, 16])
+def test_exact_streaming_matches_offline(hop):
+    """Per-layer-state streaming must equal the offline causal forward to
+    float rounding — cLN running stats, dilated-conv left contexts, encoder
+    framing carry and decoder OLA tail all have to line up for this to
+    hold (contrast the windowed wrapper's ~23 dB agreement above)."""
+    import jax
+
+    from dnn_based_source_separation_tpu.models.streaming import (
+        ExactStreamingSeparator,
+    )
+
+    model = _causal_tiny()
+    rng = np.random.default_rng(0)
+    T = 1600  # grid-aligned: (T - L) % S == 0 and T % hop == 0
+    x = rng.standard_normal((1, 1, T)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    offline = np.asarray(model.apply(variables, jnp.asarray(x)))[0]
+
+    stream = ExactStreamingSeparator(model, variables, hop_samples=hop)
+    outs = [stream.process(x[0, 0, lo : lo + hop]) for lo in range(0, T, hop)]
+    outs.append(stream.flush())
+    streamed = np.concatenate(outs, axis=-1)
+    assert streamed.shape == offline.shape
+    np.testing.assert_allclose(streamed, offline, atol=1e-5)
+
+
+def test_exact_streaming_reset_restarts_the_stream():
+    import jax
+
+    from dnn_based_source_separation_tpu.models.streaming import (
+        ExactStreamingSeparator,
+    )
+
+    model = _causal_tiny()
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 1, 800)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    stream = ExactStreamingSeparator(model, variables, hop_samples=400)
+    first = [stream.process(x[0, 0, lo : lo + 400]) for lo in range(0, 800, 400)]
+    stream.reset()
+    second = [stream.process(x[0, 0, lo : lo + 400]) for lo in range(0, 800, 400)]
+    for a, b in zip(first, second):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_exact_streaming_rejects_noncausal_and_bad_hop():
+    import jax
+
+    from dnn_based_source_separation_tpu.models import ConvTasNet
+    from dnn_based_source_separation_tpu.models.streaming import (
+        ExactStreamingSeparator,
+    )
+
+    causal = _causal_tiny()
+    x = jnp.zeros((1, 1, 400))
+    v = causal.init(jax.random.PRNGKey(0), x)
+    with pytest.raises(ValueError):
+        ExactStreamingSeparator(causal, v, hop_samples=12)  # not multiple of S
+
+    noncausal = ConvTasNet(
+        n_basis=16, kernel_size=16, stride=8, enc_basis="trainable",
+        dec_basis="trainable", enc_nonlinear="relu",
+        sep_hidden_channels=16, sep_bottleneck_channels=8, sep_skip_channels=8,
+        sep_num_blocks=1, sep_num_layers=2, causal=False, n_sources=2,
+    )
+    v2 = noncausal.init(jax.random.PRNGKey(0), x)
+    with pytest.raises(ValueError):
+        ExactStreamingSeparator(noncausal, v2, hop_samples=400)

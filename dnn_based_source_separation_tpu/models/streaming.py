@@ -102,6 +102,14 @@ class ExactStreamingSeparator:
             raise ValueError("exact streaming requires a causal model")
         if getattr(model, "dec_basis", "trainable") == "pinv":
             raise NotImplementedError("pinv decoding is not streamed")
+        if getattr(model, "enc_basis", "trainable") != "trainable":
+            # trainableGated L2-normalizes over the WHOLE utterance
+            # (ops/filterbank.py:GatedEncoder) — not frame-local, so no
+            # chunked pass can match it; Fourier encoders take the complex
+            # masking path the step below does not implement.
+            raise NotImplementedError(
+                "exact streaming supports enc_basis='trainable' (frame-"
+                "local) encoders only")
         L = int(model.kernel_size)
         S = int(model.stride or model.kernel_size // 2)
         if hop_samples % S or hop_samples < L:

@@ -21,17 +21,22 @@ import jax
 import jax.numpy as jnp
 
 
-def _lstm_scan(xw: jnp.ndarray, w_hh: jnp.ndarray, hidden_size: int):
+def _lstm_scan(xw: jnp.ndarray, w_hh: jnp.ndarray, hidden_size: int,
+               init=None, return_final: bool = False):
     """xw: (B, T, 4H) precomputed input gates; returns hidden states (B, T, H).
 
     On real TPU the recurrence runs as the fused Pallas kernel
     (`ops/pallas_lstm.py`): w_hh and the h/c carry stay resident in VMEM for
     the whole sequence instead of re-launching a small matmul per step.
     `DNNTPU_PALLAS_LSTM=0` falls back to the lax.scan path below.
+
+    `init` (h0, c0) + `return_final` support exact streaming: chunked
+    application carries the recurrent state across calls (forces the scan
+    path; the Pallas stepper assumes a zero carry).
     """
     from .pallas_lstm import lstm_scan as _fused, pallas_lstm_enabled
 
-    if pallas_lstm_enabled():
+    if init is None and not return_final and pallas_lstm_enabled():
         return _fused(xw, w_hh, not jax.default_backend() == "tpu")
     B = xw.shape[0]
     H = hidden_size
@@ -45,13 +50,19 @@ def _lstm_scan(xw: jnp.ndarray, w_hh: jnp.ndarray, hidden_size: int):
         h = nn.sigmoid(o) * jnp.tanh(c)
         return (h, c), h
 
-    init = (jnp.zeros((B, H), xw.dtype), jnp.zeros((B, H), xw.dtype))
-    _, hs = jax.lax.scan(step, init, xw_t)
-    return jnp.swapaxes(hs, 0, 1)  # (B, T, H)
+    if init is None:
+        init = (jnp.zeros((B, H), xw.dtype), jnp.zeros((B, H), xw.dtype))
+    final, hs = jax.lax.scan(step, init, xw_t)
+    hs = jnp.swapaxes(hs, 0, 1)  # (B, T, H)
+    return (hs, final) if return_final else hs
 
 
-def _gru_scan(xw: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray, hidden_size: int):
-    """xw: (B, T, 3H) = x W_ih + b_ih; torch gate order r, z, n."""
+def _gru_scan(xw: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray, hidden_size: int,
+              init=None, return_final: bool = False):
+    """xw: (B, T, 3H) = x W_ih + b_ih; torch gate order r, z, n.
+
+    `init`/`return_final` carry the hidden state for exact streaming.
+    """
     B = xw.shape[0]
     H = hidden_size
     xw_t = jnp.swapaxes(xw, 0, 1)
@@ -66,8 +77,11 @@ def _gru_scan(xw: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray, hidden_size
         h = (1.0 - z) * n + z * h
         return h, h
 
-    _, hs = jax.lax.scan(step, jnp.zeros((B, H), xw.dtype), xw_t)
-    return jnp.swapaxes(hs, 0, 1)
+    if init is None:
+        init = jnp.zeros((B, H), xw.dtype)
+    final, hs = jax.lax.scan(step, init, xw_t)
+    hs = jnp.swapaxes(hs, 0, 1)
+    return (hs, final) if return_final else hs
 
 
 def _rnn_scan(xw: jnp.ndarray, w_hh: jnp.ndarray, hidden_size: int):
@@ -100,6 +114,15 @@ class LSTM(nn.Module):
         from .pallas_lstm import lstm_scan_bidir, pallas_lstm_enabled
 
         H = self.hidden_size
+        # Exact streaming (mutable 'stream' collection): carry each layer's
+        # final (h, c) across calls so chunked application equals one
+        # offline pass. Unidirectional (causal) stacks only — a backward
+        # chain cannot stream.
+        streaming = (self.is_mutable_collection("stream")
+                     and not self.is_initializing())
+        if streaming and self.bidirectional:
+            raise NotImplementedError(
+                "exact streaming requires a unidirectional (causal) LSTM")
         fuse_bidir = self.bidirectional and pallas_lstm_enabled()
         for layer in range(self.num_layers):
             F = x.shape[-1]
@@ -110,7 +133,19 @@ class LSTM(nn.Module):
                 w_hh = self.param(f"w_hh{sfx}", nn.initializers.orthogonal(), (H, 4 * H))
                 b = self.param(f"b{sfx}", nn.initializers.zeros, (4 * H,))
                 params.append((w_ih, w_hh, b))
-            if fuse_bidir:
+            if streaming:
+                w_ih, w_hh, b = params[0]
+                state = self.variable(
+                    "stream", f"state_l{layer}",
+                    lambda: jnp.zeros((x.shape[0], 2, H), x.dtype))
+                xw = jnp.dot(x, w_ih, preferred_element_type=None) + b
+                hs, (hT, cT) = _lstm_scan(
+                    xw, w_hh, H,
+                    init=(state.value[:, 0], state.value[:, 1]),
+                    return_final=True)
+                state.value = jnp.stack([hT, cT], axis=1)
+                x = hs
+            elif fuse_bidir:
                 # Both directional recurrences advance in ONE fused Pallas
                 # stepper; per-step cost is shared across the two chains.
                 (wif, whf, bf), (wib, whb, bb) = params
@@ -147,6 +182,11 @@ class GRU(nn.Module):
         from .pallas_lstm import gru_scan_bidir, pallas_lstm_enabled
 
         H = self.hidden_size
+        streaming = (self.is_mutable_collection("stream")
+                     and not self.is_initializing())
+        if streaming and self.bidirectional:
+            raise NotImplementedError(
+                "exact streaming requires a unidirectional (causal) GRU")
         fuse_bidir = self.bidirectional and pallas_lstm_enabled()
         for layer in range(self.num_layers):
             params = []
@@ -158,7 +198,17 @@ class GRU(nn.Module):
                 b_ih = self.param(f"b_ih{sfx}", nn.initializers.zeros, (3 * H,))
                 b_hh = self.param(f"b_hh{sfx}", nn.initializers.zeros, (3 * H,))
                 params.append((w_ih, w_hh, b_ih, b_hh))
-            if fuse_bidir:
+            if streaming:
+                w_ih, w_hh, b_ih, b_hh = params[0]
+                state = self.variable(
+                    "stream", f"state_l{layer}",
+                    lambda: jnp.zeros((x.shape[0], H), x.dtype))
+                xw = jnp.dot(x, w_ih, preferred_element_type=None) + b_ih
+                hs, hT = _gru_scan(xw, w_hh, b_hh, H, init=state.value,
+                                   return_final=True)
+                state.value = hT
+                x = hs
+            elif fuse_bidir:
                 (wif, whf, bif, bhf), (wib, whb, bib, bhb) = params
                 xw_f = (jnp.dot(x, wif, preferred_element_type=None) + bif).astype(wif.dtype)
                 xw_b = (jnp.dot(jnp.flip(x, axis=1), wib, preferred_element_type=None) + bib).astype(wif.dtype)

@@ -162,3 +162,51 @@ def test_exact_streaming_rejects_noncausal_and_bad_hop():
     v2 = noncausal.init(jax.random.PRNGKey(0), x)
     with pytest.raises(ValueError):
         ExactStreamingSeparator(noncausal, v2, hop_samples=400)
+
+
+def test_exact_streaming_lstm_tasnet_matches_offline():
+    """Second causal family: stacked unidirectional LSTMs carry (h, c) in
+    the 'stream' collection (ops/rnn.py), composing with the same wrapper."""
+    import jax
+
+    from dnn_based_source_separation_tpu.models import LSTMTasNet
+    from dnn_based_source_separation_tpu.models.streaming import (
+        ExactStreamingSeparator,
+    )
+
+    model = LSTMTasNet(
+        n_basis=24, kernel_size=40, stride=20, enc_basis="trainable",
+        dec_basis="trainable", sep_num_blocks=2, sep_num_layers=2,
+        sep_hidden_channels=16, mask_nonlinear="softmax",
+        causal=True, n_sources=2,
+    )
+    rng = np.random.default_rng(2)
+    hop, T = 400, 4000
+    x = rng.standard_normal((1, 1, T)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    offline = np.asarray(model.apply(variables, jnp.asarray(x)))[0]
+
+    stream = ExactStreamingSeparator(model, variables, hop_samples=hop)
+    outs = [stream.process(x[0, 0, lo : lo + hop]) for lo in range(0, T, hop)]
+    outs.append(stream.flush())
+    np.testing.assert_allclose(np.concatenate(outs, -1), offline, atol=1e-5)
+
+
+def test_exact_streaming_rejects_utterance_global_encoder():
+    """trainableGated L2-normalizes over the whole utterance — not
+    frame-local, so exact streaming must refuse it rather than drift."""
+    import jax
+
+    from dnn_based_source_separation_tpu.models import LSTMTasNet
+    from dnn_based_source_separation_tpu.models.streaming import (
+        ExactStreamingSeparator,
+    )
+
+    model = LSTMTasNet(
+        n_basis=24, kernel_size=40, stride=20, enc_basis="trainableGated",
+        dec_basis="trainable", sep_num_blocks=1, sep_num_layers=1,
+        sep_hidden_channels=8, causal=True, n_sources=2,
+    )
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 400)))
+    with pytest.raises(NotImplementedError):
+        ExactStreamingSeparator(model, v, hop_samples=400)

@@ -2,7 +2,9 @@
 # wsj0-mix / dprnn-tasnet training recipe (TPU).
 # Mirrors the reference recipe flags (egs/wsj0-mix/dprnn-tasnet/train.sh); extra
 # flags pass straight through to the CLI (Kaldi-style --flag value).
-# Tip: --rnn_type gru is ~20% faster on TPU at this config (BENCHMARKS.md).
+# Tip: --rnn_type gru is ~20% faster on TPU at this config (BENCHMARKS.md);
+# --rnn_type sru replaces the sequential recurrence with a parallel prefix
+# scan entirely (ops/rnn.py:SRU).
 
 . "$(dirname "${BASH_SOURCE[0]}")/../../common/path.sh"
 wav_root_train="${wav_root_train:-../../../dataset/wsj0-mix/2speakers/wav8k/min/tr}"

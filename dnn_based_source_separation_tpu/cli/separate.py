@@ -25,6 +25,12 @@ def build_parser():
     p.add_argument("--sample_rate", type=int, default=8000)
     p.add_argument("--chunk_duration", type=float, default=None,
                    help="optional fixed chunking for long inputs (one compile)")
+    p.add_argument("--streaming_hop", type=float, default=None,
+                   help="causal checkpoints only: process the file through "
+                        "the exact chunk-by-chunk streaming path (per-layer "
+                        "state; output identical to the offline forward) "
+                        "with this hop in seconds — demonstrates/validates "
+                        "realtime serving behavior")
     return p
 
 
@@ -37,7 +43,22 @@ def main(args=None):
     T = x.shape[0]
     forward = jax.jit(model.apply)
 
-    if args.chunk_duration:
+    if args.streaming_hop:
+        # Exact realtime-style streaming: per-layer state, output matches
+        # the offline forward to float rounding (models/streaming.py).
+        from ..models.streaming import ExactStreamingSeparator
+
+        stride = int(getattr(model, "stride", 0) or model.kernel_size // 2)
+        hop = max(int(args.streaming_hop * sr) // stride, 1) * stride
+        hop = max(hop, int(model.kernel_size))
+        stream = ExactStreamingSeparator(model, params, hop_samples=hop)
+        pad = (-T) % hop
+        xp = np.concatenate([x, np.zeros(pad, np.float32)])
+        outs = [stream.process(xp[None, lo : lo + hop])
+                for lo in range(0, len(xp), hop)]
+        outs.append(stream.flush())
+        est = np.concatenate(outs, axis=-1)[:, :T]
+    elif args.chunk_duration:
         # Overlapped chunked scan with triangular crossfade (no hard
         # boundaries), one compiled program per chunk-count bucket.
         from ..models.longform import separate_longform

@@ -489,3 +489,40 @@ def test_separate_cli_chunked(tmp_path):
                    "--out_dir", out, "--chunk_duration", "0.5"])
     files = sorted(os.listdir(out))
     assert files == ["source0.wav", "source1.wav"]
+
+
+def test_separate_cli_exact_streaming(tmp_path):
+    """--streaming_hop path: exact chunk-by-chunk serving must reproduce the
+    offline CLI output up to one 16-bit WAV quantization step."""
+    import jax
+    import jax.numpy as jnp
+
+    from dnn_based_source_separation_tpu.cli import separate
+    from dnn_based_source_separation_tpu.data.audio_io import read_wav
+    from dnn_based_source_separation_tpu.models import ConvTasNet
+    from dnn_based_source_separation_tpu.models.base import save_model
+
+    model = ConvTasNet(
+        n_basis=16, kernel_size=16, stride=8, enc_basis="trainable",
+        dec_basis="trainable", enc_nonlinear="relu",
+        sep_hidden_channels=16, sep_bottleneck_channels=8, sep_skip_channels=8,
+        sep_num_blocks=1, sep_num_layers=3, causal=True, n_sources=2,
+    )
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 4000), jnp.float32))
+    ckpt = str(tmp_path / "m.ckpt")
+    save_model(ckpt, model, params, {})
+
+    rng = np.random.default_rng(3)
+    wav = str(tmp_path / "mix.wav")
+    write_wav(wav, 0.1 * rng.standard_normal(8000), 8000)
+
+    out_s = str(tmp_path / "out_stream")
+    out_o = str(tmp_path / "out_offline")
+    separate.main(["--model_path", ckpt, "--input", wav,
+                   "--out_dir", out_s, "--streaming_hop", "0.05"])
+    separate.main(["--model_path", ckpt, "--input", wav, "--out_dir", out_o])
+    for s in range(2):
+        a, _ = read_wav(os.path.join(out_s, f"source{s}.wav"))
+        b, _ = read_wav(os.path.join(out_o, f"source{s}.wav"))
+        assert a.shape == b.shape
+        assert np.abs(a - b).max() <= 2.0 / 32768

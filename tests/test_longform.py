@@ -210,3 +210,29 @@ def test_exact_streaming_rejects_utterance_global_encoder():
     v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 400)))
     with pytest.raises(NotImplementedError):
         ExactStreamingSeparator(model, v, hop_samples=400)
+
+
+def test_streaming_state_never_leaks_into_checkpoints():
+    """model.init must NOT create 'stream' variables (they exist only under
+    an explicitly-mutable streaming apply) — otherwise every checkpoint and
+    train-step variables dict would grow stream state and training would
+    carry normalization stats across batches."""
+    import jax
+
+    from dnn_based_source_separation_tpu.models import LSTMTasNet
+
+    conv = _causal_tiny()
+    v1 = conv.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 400)))
+    assert set(v1.keys()) == {"params"}
+
+    lstm = LSTMTasNet(
+        n_basis=24, kernel_size=40, stride=20, enc_basis="trainable",
+        dec_basis="trainable", sep_num_blocks=1, sep_num_layers=1,
+        sep_hidden_channels=8, causal=True, n_sources=2,
+    )
+    v2 = lstm.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 400)))
+    assert set(v2.keys()) == {"params"}
+
+    # Offline apply with those variables is the plain (stateless) path.
+    out = conv.apply(v1, jnp.zeros((1, 1, 400)))
+    assert out.shape == (1, 2, 400)

@@ -49,15 +49,24 @@ def main(args=None):
         from ..models.streaming import ExactStreamingSeparator
 
         stride = int(getattr(model, "stride", 0) or model.kernel_size // 2)
+        L = int(model.kernel_size)
         hop = max(int(args.streaming_hop * sr) // stride, 1) * stride
-        hop = max(hop, int(model.kernel_size))
+        hop = max(hop, L)
         stream = ExactStreamingSeparator(model, params, hop_samples=hop)
-        pad = (-T) % hop
-        xp = np.concatenate([x, np.zeros(pad, np.float32)])
+        # Match the offline forward's stride-grid padding EXACTLY
+        # (skeleton.extract_latent center-pads (pl, pr) before framing);
+        # then pad the tail further to a whole number of hops and trim the
+        # extra emission, so streamed == offline for ANY input length.
+        grid_pad = (stride - (T - L) % stride) % stride
+        pl = grid_pad // 2
+        xp = np.concatenate(
+            [np.zeros(pl, np.float32), x,
+             np.zeros(grid_pad - pl, np.float32)])
+        n_full = len(xp) // hop
         outs = [stream.process(xp[None, lo : lo + hop])
-                for lo in range(0, len(xp), hop)]
-        outs.append(stream.flush())
-        est = np.concatenate(outs, axis=-1)[:, :T]
+                for lo in range(0, n_full * hop, hop)]
+        outs.append(stream.finish(xp[None, n_full * hop :]))
+        est = np.concatenate(outs, axis=-1)[:, pl : pl + T]
     elif args.chunk_duration:
         # Overlapped chunked scan with triangular crossfade (no hard
         # boundaries), one compiled program per chunk-count bucket.

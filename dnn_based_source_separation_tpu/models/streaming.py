@@ -144,23 +144,33 @@ class ExactStreamingSeparator:
             new_tail = x_hat[..., n_out:]
             return emitted, mut["stream"], new_tail
 
-        self._step = step
+        # Public pure step: (params, state, x, tail) -> (emitted, state,
+        # tail). Reused by the on-device latency bench (lax.scan-able) so
+        # there is exactly one copy of the exact-streaming semantics.
+        self.step = step
 
     def _compiled(self, t_in: int):
         if t_in not in self._steps:
-            self._steps[t_in] = jax.jit(self._step)
+            self._steps[t_in] = jax.jit(self.step)
         return self._steps[t_in]
 
     def _prime(self, x):
-        """Create the 'stream' state tree (flax lazily double-runs the first
-        mutable apply — prime on a dummy, then zero the tree)."""
-        w = self._model.apply(
-            self.params, jnp.moveaxis(x[:, None, :], 1, 2),
-            method=lambda m, a: m.encoder(a))
-        _, mut = self._model.apply(
-            self.params, w, method=lambda m, a: m.separator(a),
-            mutable=["stream"])
-        self._state = jax.tree_util.tree_map(jnp.zeros_like, mut["stream"])
+        """Build the zeroed 'stream' state tree. `jax.eval_shape` traces the
+        mutable apply abstractly — zero FLOPs, and flax's lazy variable-init
+        double-run happens only on abstract values."""
+
+        def state_tree(params, xin):
+            w = self._model.apply(
+                params, jnp.moveaxis(xin[:, None, :], 1, 2),
+                method=lambda m, a: m.encoder(a))
+            _, mut = self._model.apply(
+                params, w, method=lambda m, a: m.separator(a),
+                mutable=["stream"])
+            return mut["stream"]
+
+        shapes = jax.eval_shape(state_tree, self.params, x)
+        self._state = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
     def process(self, block: np.ndarray) -> np.ndarray:
         """block (hop,) or (1, hop) new samples -> (n_sources, emitted)."""
@@ -188,6 +198,40 @@ class ExactStreamingSeparator:
             np.zeros((int(self._model.n_sources), self.L - self.S), np.float32)
         self._tail = jnp.zeros_like(self._tail) if self._tail is not None else None
         return out
+
+    def finish(self, block: np.ndarray | None = None) -> np.ndarray:
+        """End the stream with an arbitrary-length final block (may be
+        shorter than hop), emitting everything that remains.
+
+        Frames exactly the remaining samples — no zero-pad-to-hop, whose
+        extra frames would see real samples through their window and change
+        the final kernel_size - stride output samples vs offline. The
+        leftover pending + block must land on the stride grid
+        ((total - L) % S == 0), as the offline pass's own padding does.
+        """
+        parts = [self._pending]
+        if block is not None:
+            b = np.asarray(block, np.float32)
+            parts.append(b[None] if b.ndim == 1 else b)
+        buf = np.concatenate(parts, axis=-1)
+        self._pending = np.zeros((1, 0), np.float32)
+        pieces = []
+        if buf.shape[-1] >= self.L:
+            assert (buf.shape[-1] - self.L) % self.S == 0, (
+                f"final block leaves {buf.shape[-1]} samples, off the "
+                f"stride grid (L={self.L}, S={self.S})")
+            n_f = (buf.shape[-1] - self.L) // self.S + 1
+            t_in = (n_f - 1) * self.S + self.L
+            x = jnp.asarray(buf[:, :t_in])
+            if self._state is None:
+                self._prime(x)
+                self._tail = jnp.zeros(
+                    (int(self._model.n_sources), self.L - self.S), jnp.float32)
+            emitted, self._state, self._tail = self._compiled(t_in)(
+                self.params, self._state, x, self._tail)
+            pieces.append(np.asarray(emitted))
+        pieces.append(self.flush())
+        return np.concatenate(pieces, axis=-1)
 
     def reset(self):
         self._pending = np.zeros((1, 0), np.float32)

@@ -92,40 +92,34 @@ def main():
         dev_lat = max(float(np.median(ts)) - floor, 0.0) / N * 1e3
 
         # Exact-streaming chain: the same N sequential steps through the
-        # per-layer-state path (ExactStreamingSeparator semantics — cLN
-        # running stats + conv left contexts + encoder/decoder carries),
+        # per-layer-state path, reusing ExactStreamingSeparator's OWN pure
+        # step function (exactly the shipped serving semantics — cLN running
+        # stats + conv left contexts + encoder framing/decoder OLA carries),
         # which processes hop+L-S samples per step instead of the 2 s
         # rolling window: both exact w.r.t. offline AND cheaper per block.
+        from dnn_based_source_separation_tpu.models.streaming import (
+            ExactStreamingSeparator,
+        )
+
         L, S = model.kernel_size, model.stride
-        t_in = hop + L - S
-        xd = jnp.zeros((1, 1, t_in), jnp.float32)
-        w0 = model.apply(params, jnp.moveaxis(xd, 1, 2),
-                         method=lambda m, a: m.encoder(a))
-        _, mut = model.apply(params, w0, method=lambda m, a: m.separator(a),
-                             mutable=["stream"])
-        st0 = jax.tree_util.tree_map(jnp.zeros_like, mut["stream"])
+        es = ExactStreamingSeparator(model, params, hop_samples=hop)
+        es._prime(jnp.zeros((1, hop + L - S), jnp.float32))
+        st0 = es._state
 
         def exact_chain(p, blocks):
-            def step(carry, block):
+            # carry = (stream state, encoder sample carry, decoder OLA tail);
+            # each scanned step consumes carry+block = hop+L-S samples, the
+            # steady-state shape of the serving wrapper.
+            def scan_step(carry, block):
                 st, enc_c, tail = carry
                 x = jnp.concatenate([enc_c, block], axis=-1)
-                w = model.apply(p, jnp.moveaxis(x[:, None, :], 1, 2),
-                                method=lambda m, a: m.encoder(a))
-                mask, mu = model.apply({**p, "stream": st}, w,
-                                       method=lambda m, a: m.separator(a),
-                                       mutable=["stream"])
-                w_hat = w[:, None] * mask
-                x_hat = model.apply(p, w_hat,
-                                    method=lambda m, a: m.decoder(a))[..., 0][0]
-                n_out = x_hat.shape[-1] - (L - S)
-                emitted = jnp.concatenate(
-                    [x_hat[..., : L - S] + tail, x_hat[..., L - S : n_out]], -1)
-                return ((mu["stream"], x[:, -(L - S):], x_hat[..., n_out:]),
+                emitted, st, tail = es.step(p, st, x, tail)
+                return ((st, x[:, -(L - S):], tail),
                         jnp.sum(emitted.astype(jnp.float32)))
 
             carry0 = (st0, jnp.zeros((1, L - S), jnp.float32),
                       jnp.zeros((model.n_sources, L - S), jnp.float32))
-            _, outs = jax.lax.scan(step, carry0, blocks)
+            _, outs = jax.lax.scan(scan_step, carry0, blocks)
             return outs[-1]
 
         exact_jit = jax.jit(exact_chain)

@@ -513,8 +513,11 @@ def test_separate_cli_exact_streaming(tmp_path):
     save_model(ckpt, model, params, {})
 
     rng = np.random.default_rng(3)
+    # 8002 samples: OFF the stride grid, so the offline forward center-pads
+    # (pl, pr) before framing — the streaming path must reproduce that
+    # padding, not just frame from sample 0.
     wav = str(tmp_path / "mix.wav")
-    write_wav(wav, 0.1 * rng.standard_normal(8000), 8000)
+    write_wav(wav, 0.1 * rng.standard_normal(8002), 8000)
 
     out_s = str(tmp_path / "out_stream")
     out_o = str(tmp_path / "out_offline")

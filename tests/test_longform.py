@@ -236,3 +236,36 @@ def test_streaming_state_never_leaks_into_checkpoints():
     # Offline apply with those variables is the plain (stateless) path.
     out = conv.apply(v1, jnp.zeros((1, 1, 400)))
     assert out.shape == (1, 2, 400)
+
+
+def test_exact_streaming_finish_handles_off_grid_lengths():
+    """finish() frames exactly the remaining samples: an input that is off
+    both the hop grid and (after offline-style padding) ends mid-hop must
+    still match offline — zero-padding the tail to a whole hop would add
+    frames that see real samples through their window and corrupt the
+    final kernel-stride samples."""
+    import jax
+
+    from dnn_based_source_separation_tpu.models.streaming import (
+        ExactStreamingSeparator,
+    )
+
+    model = _causal_tiny()
+    L, S, hop = 16, 8, 400
+    rng = np.random.default_rng(7)
+    T = 1842  # arbitrary off-grid length
+    x = rng.standard_normal((1, 1, T)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    offline = np.asarray(model.apply(variables, jnp.asarray(x)))[0]
+
+    grid_pad = (S - (T - L) % S) % S
+    pl = grid_pad // 2
+    xp = np.concatenate([np.zeros(pl, np.float32), x[0, 0],
+                         np.zeros(grid_pad - pl, np.float32)])
+    stream = ExactStreamingSeparator(model, variables, hop_samples=hop)
+    n_full = len(xp) // hop
+    outs = [stream.process(xp[None, lo : lo + hop])
+            for lo in range(0, n_full * hop, hop)]
+    outs.append(stream.finish(xp[None, n_full * hop :]))
+    est = np.concatenate(outs, axis=-1)[:, pl : pl + T]
+    np.testing.assert_allclose(est, offline, atol=1e-5)

@@ -73,6 +73,13 @@ def main():
 
     chunk_amp_jit = jax.jit(chunk_amp)
 
+    # One scalar over a list of arrays: float()-fetching it forces every
+    # element to materialize. block_until_ready() is NOT a reliable barrier
+    # on this remote backend (it can return before the work runs), so every
+    # timed region below ends in a scalar value fetch instead.
+    checksum_jit = jax.jit(
+        lambda ws: sum(jnp.sum(w.astype(jnp.float32)) for w in ws))
+
     def run_track():
         amps, specs = [], []
         for i in range(n_chunks):
@@ -83,7 +90,7 @@ def main():
         for i in range(n_chunks):
             est = wiener_jit(specs[i], amps[i][0])  # (n_src, 2, F, S) complex
             waves.append(istft_jit(est))
-        jax.block_until_ready(waves[-1])
+        float(checksum_jit(waves))
         return waves
 
     run_track()  # compile
@@ -102,7 +109,7 @@ def main():
     s = time.perf_counter()
     amps = [chunk_amp_jit(variables, jnp.asarray(track[None, :, i * chunk:(i + 1) * chunk]))
             for i in range(n_chunks)]
-    jax.block_until_ready(amps[-1])
+    float(checksum_jit(amps))
     t_model = time.perf_counter() - s
     print(f"  stage split: model+stft {t_model:.2f} s, wiener+istft "
           f"{wall - t_model:.2f} s", flush=True)

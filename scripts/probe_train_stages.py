@@ -57,15 +57,21 @@ def timed_scan(fn, carry, *consts, iters=16, reps=4):
     def chain(c, *a):
         def body(c, _):
             return fn(c, *a), None
-        return jax.lax.scan(body, c, None, length=iters)[0]
+        out = jax.lax.scan(body, c, None, length=iters)[0]
+        # Reduce to ONE scalar inside the jit so the host can force the
+        # computation with a float() VALUE FETCH. block_until_ready() is not
+        # a reliable barrier on this remote backend (it returned immediately
+        # and the fwd chain "measured" 0 ms); a scalar fetch is.
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return jnp.sum(leaf.astype(jnp.float32))
 
     chain_jit = jax.jit(chain)
-    out = chain_jit(carry, *consts)
-    jax.block_until_ready(out)
+    float(chain_jit(carry, *consts))
+    float(chain_jit(carry, *consts))
     ts = []
     for _ in range(reps):
         s = time.perf_counter()
-        jax.block_until_ready(chain_jit(carry, *consts))
+        float(chain_jit(carry, *consts))
         ts.append(time.perf_counter() - s)
     raw = float(np.median(ts)) / iters * 1e3
     return max(raw - _floor_ms() / iters, 0.05 * raw)
@@ -108,11 +114,14 @@ def main():
         p = jax.tree_util.tree_map(
             lambda a: a.astype(cd) if a.dtype == jnp.float32 else a, params)
         est = model.apply(p, mix.astype(cd))
-        return criterion(est.astype(jnp.float32), src)
+        out = criterion(est.astype(jnp.float32), src)
+        return out[0] if isinstance(out, tuple) else out
 
     # fwd: scalar carry for the data dependency; params/data via arguments.
+    # The carry must FEED the computation (mix + 1e-20*c) or XLA hoists the
+    # loop-invariant loss out of the scan and the chain measures nothing.
     def fwd_once(c, v, mix, src):
-        return c + loss_fn(v, mix, src)
+        return c + loss_fn(v, mix + 1e-20 * c, src)
 
     print("[stage] fwd chain...", flush=True)
     ms_fwd = timed_scan(fwd_once, jnp.float32(0.0), variables, mix, src)
@@ -124,9 +133,12 @@ def main():
     # grad: carry the params so each iteration depends on the previous.
     gfn = jax.value_and_grad(loss_fn)
 
+    # Epsilon update (not 0.0*g, which XLA folds -> the whole grad is DCE'd):
+    # numerically a no-op in f32, but forces each iteration to consume the
+    # previous one's gradients.
     def grad_once(params, mix, src):
         _, g = gfn(params, mix, src)
-        return jax.tree_util.tree_map(lambda p, gi: p - 0.0 * gi, params, g)
+        return jax.tree_util.tree_map(lambda p, gi: p - 1e-20 * gi, params, g)
 
     print("[stage] grad chain...", flush=True)
     ms_grad = timed_scan(grad_once, variables, mix, src)

@@ -27,18 +27,89 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main():
+def _flagship_causal(sr):
     from dnn_based_source_separation_tpu.models import ConvTasNet
-    from dnn_based_source_separation_tpu.models.streaming import StreamingSeparator
 
-    sr = 8000
-    model = ConvTasNet(
+    return ConvTasNet(
         n_basis=512, kernel_size=16, stride=8, enc_basis="trainable",
         dec_basis="trainable", enc_nonlinear="relu",
         sep_hidden_channels=512, sep_bottleneck_channels=128,
         sep_skip_channels=128, sep_num_blocks=3, sep_num_layers=8,
         causal=True, n_sources=2,
     )
+
+
+def bench_multistream(hop_ms: int = 16, stream_counts=(16, 64, 256)):
+    """Concurrent-stream serving capacity of the exact-streaming path.
+
+    vmaps ExactStreamingSeparator's pure step over M independent streams
+    (M state trees advance together), scans 50 sequential blocks in one
+    dispatch, and reports ms/block per M. Realtime requires ms/block <=
+    hop; the largest M that satisfies it is the measured streams-per-chip
+    capacity at this block latency.
+    """
+    from dnn_based_source_separation_tpu.models.streaming import (
+        ExactStreamingSeparator,
+    )
+
+    sr = 8000
+    model = _flagship_causal(sr)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, sr), jnp.float32))
+    hop = sr * hop_ms // 1000
+    L, S = model.kernel_size, model.stride
+    es = ExactStreamingSeparator(model, params, hop_samples=hop)
+    es._prime(jnp.zeros((1, hop + L - S), jnp.float32))
+    st0 = es._state
+
+    rng = np.random.default_rng(3)
+    N = 50
+    print(f"multi-stream exact serving (hop {hop_ms} ms):", flush=True)
+    for M in stream_counts:
+        blocks = jnp.asarray(
+            0.1 * rng.standard_normal((N, M, 1, hop)), jnp.float32)
+        stM = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (M,) + a.shape), st0)
+        step_v = jax.vmap(es.step, in_axes=(None, 0, 0, 0))
+
+        def chain(p, blocks, stM):
+            def scan_step(carry, block):
+                st, enc_c, tail = carry
+                x = jnp.concatenate([enc_c, block], axis=-1)
+                emitted, st, tail = step_v(p, st, x, tail)
+                return ((st, x[..., -(L - S):], tail),
+                        jnp.sum(emitted.astype(jnp.float32)))
+
+            carry0 = (stM, jnp.zeros((M, 1, L - S), jnp.float32),
+                      jnp.zeros((M, model.n_sources, L - S), jnp.float32))
+            _, outs = jax.lax.scan(scan_step, carry0, blocks)
+            return outs[-1]
+
+        chain_jit = jax.jit(chain)
+        float(chain_jit(params, blocks, stM))
+        ts = []
+        for _ in range(4):
+            s = time.perf_counter()
+            float(chain_jit(params, blocks, stM))
+            ts.append(time.perf_counter() - s)
+        f = jax.jit(lambda s: s * 1.0 + 2.0)
+        float(f(jnp.float32(0.0)))
+        fs = []
+        for _ in range(10):
+            s = time.perf_counter()
+            float(f(jnp.float32(0.0)))
+            fs.append(time.perf_counter() - s)
+        lat = max(float(np.median(ts)) - float(np.median(fs)), 0.0) / N * 1e3
+        ok = "realtime" if lat <= hop_ms else "OVER BUDGET"
+        print(f"  M={M:4d} streams: {lat:6.2f} ms/block "
+              f"({hop_ms / lat:5.1f}x margin, {lat / M * 1e3:6.1f} us/stream) "
+              f"[{ok}]", flush=True)
+
+
+def main():
+    from dnn_based_source_separation_tpu.models.streaming import StreamingSeparator
+
+    sr = 8000
+    model = _flagship_causal(sr)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, sr), jnp.float32))
 
     rng = np.random.default_rng(0)
@@ -139,4 +210,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--streams" in sys.argv:
+        bench_multistream()
+    else:
+        main()

@@ -9,4 +9,6 @@ sharding demos (e.g. chunk-axis context parallelism in dual-path models).
 
 from .mesh import make_mesh, data_sharding, replicated_sharding, shard_batch
 from .tensor import tp_dense_block
+from .pipeline import pipeline_apply, pp_tdcn_forward, stack_stage_params
+from .expert import ep_apply, ep_parallel_umx
 from . import multihost

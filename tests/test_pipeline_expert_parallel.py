@@ -78,6 +78,35 @@ def test_pipeline_pytree_activations_under_jit():
                                np.asarray(expected_skip), atol=1e-5)
 
 
+def test_pipeline_grad_matches_sequential():
+    """Reverse-mode through the pipelined chain == sequential grads: the
+    backward pass is itself pipelined (ppermute transposes to the reverse
+    hop), so pp training steps are a pure layout change too."""
+    mesh = _stage_mesh(8)
+    rng = np.random.default_rng(5)
+    B, F = 8, 5
+    ws = jnp.asarray(rng.standard_normal((8, F, F)) * 0.3, jnp.float32)
+    params = {"w": ws}
+    x = jnp.asarray(rng.standard_normal((B, F)), jnp.float32)
+
+    def stage_fn(p, a):
+        return jnp.tanh(a @ p["w"])
+
+    def seq_loss(p, a):
+        for i in range(8):
+            a = stage_fn({"w": p["w"][i]}, a)
+        return jnp.sum(a ** 2)
+
+    def pp_loss(p, a):
+        out = pipeline_apply(mesh, stage_fn, p, a, n_microbatches=4)
+        return jnp.sum(out ** 2)
+
+    g_seq = jax.grad(seq_loss)(params, x)
+    g_pp = jax.jit(jax.grad(pp_loss))(params, x)
+    np.testing.assert_allclose(np.asarray(g_pp["w"]), np.asarray(g_seq["w"]),
+                               atol=1e-4)
+
+
 def test_pipeline_rejects_indivisible_batch():
     mesh = _stage_mesh(8)
     x = jnp.zeros((6, 4))

@@ -56,11 +56,16 @@ def ep_apply(
         y = expert_fn(params, xs)
         return jax.tree_util.tree_map(lambda a: a[None], y)
 
+    # out_specs must mirror the expert's OUTPUT pytree (which need not share
+    # the input's structure); shape it with an abstract eval of one expert.
+    params0 = jax.tree_util.tree_map(lambda p: p[:1], stacked_params)
+    out_shape = jax.eval_shape(run, params0, x)
+
     return shard_map(
         run,
         mesh=mesh,
         in_specs=(_tree_spec(stacked_params, P(axis)), _tree_spec(x, x_spec)),
-        out_specs=_tree_spec(x, out_spec),
+        out_specs=_tree_spec(out_shape, out_spec),
         check_rep=False,
     )(stacked_params, x)
 

@@ -165,6 +165,25 @@ def test_ep_apply_matches_stacked_sequential():
                                atol=1e-5)
 
 
+def test_ep_apply_output_structure_differs_from_input():
+    """Experts may emit a different pytree than they consume (e.g. a dict
+    of heads); out_specs follows the OUTPUT structure."""
+    mesh = make_mesh(8, axis_names=("expert",))
+    rng = np.random.default_rng(6)
+    ws = jnp.asarray(rng.standard_normal((8, 4, 3)) * 0.5, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 4)), jnp.float32)
+
+    def expert_fn(p, a):
+        y = a @ p["w"]
+        return {"mask": jax.nn.sigmoid(y), "logit": y}
+
+    got = ep_apply(mesh, expert_fn, {"w": ws}, x)
+    assert set(got) == {"mask", "logit"}
+    expected = jnp.stack([x @ ws[i] for i in range(8)])
+    np.testing.assert_allclose(np.asarray(got["logit"]), np.asarray(expected),
+                               atol=1e-5)
+
+
 def test_ep_parallel_umx_matches_plain_forward():
     """Per-stem sharded ParallelOpenUnmix == the plain 4-stem forward,
     on a 2-D dp(2) x ep(4) mesh with the batch data-sharded."""

@@ -63,31 +63,41 @@ def main():
     print(f"UMX x4 train probe: B={B} x {T / sr:.0f}s stereo, bf16 compute",
           flush=True)
 
-    def loss_fn(v, mix, src):
-        p = jax.tree_util.tree_map(
-            lambda a: a.astype(cd) if a.dtype == jnp.float32 else a, v)
-        est = umx.apply(p, mix.astype(cd), train=True)
+    aux = {k: v for k, v in variables.items() if k != "params"}
+
+    def _cast(tree):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(cd) if a.dtype == jnp.float32 else a, tree)
+
+    def loss_fn(p, mix, src):
+        # Mirrors make_train_step's _step_core: grad w.r.t. params only,
+        # batch_stats threaded through mutable apply (UMX's TransformBlock1d
+        # uses nn.BatchNorm; applying train=True without mutable raises).
+        v = {"params": _cast(p), **_cast(aux)}
+        est, _ = umx.apply(v, mix.astype(cd), train=True,
+                           mutable=list(aux.keys()))
         return spec_mse(est.astype(jnp.float32), src)
 
-    def fwd_once(c, v, mix, src):
-        return c + loss_fn(v, mix + 1e-20 * c, src)
+    def fwd_once(c, p, mix, src):
+        return c + loss_fn(p, mix + 1e-20 * c, src)
 
+    params = variables["params"]
     print("[stage] fwd chain...", flush=True)
-    ms_fwd = timed_scan(fwd_once, jnp.float32(0.0), variables, mix, src, iters=8)
-    f_fwd = flops_of(jax.jit(loss_fn), variables, mix, src)
+    ms_fwd = timed_scan(fwd_once, jnp.float32(0.0), params, mix, src, iters=8)
+    f_fwd = flops_of(jax.jit(loss_fn), params, mix, src)
     print(f"forward+loss:        {ms_fwd:7.2f} ms  "
           f"({f_fwd / (ms_fwd / 1e3) / PEAK:5.1%} MFU of {f_fwd / 1e9:.1f} GF)",
           flush=True)
 
     gfn = jax.value_and_grad(loss_fn)
 
-    def grad_once(v, mix, src):
-        _, g = gfn(v, mix, src)
-        return jax.tree_util.tree_map(lambda p, gi: p - 1e-20 * gi, v, g)
+    def grad_once(p, mix, src):
+        _, g = gfn(p, mix, src)
+        return jax.tree_util.tree_map(lambda pi, gi: pi - 1e-20 * gi, p, g)
 
     print("[stage] grad chain...", flush=True)
-    ms_grad = timed_scan(grad_once, variables, mix, src, iters=4)
-    f_grad = flops_of(jax.jit(gfn), variables, mix, src)
+    ms_grad = timed_scan(grad_once, params, mix, src, iters=4)
+    f_grad = flops_of(jax.jit(gfn), params, mix, src)
     print(f"forward+backward:    {ms_grad:7.2f} ms  "
           f"({f_grad / (ms_grad / 1e3) / PEAK:5.1%} MFU of {f_grad / 1e9:.1f} GF)",
           flush=True)
@@ -124,22 +134,24 @@ def main():
     amp = jnp.asarray(rng.standard_normal((B, 1, 2, 2049, S)) ** 2, jnp.float32)
     amp_t = jnp.asarray(rng.standard_normal((B, 4, 2, 2049, S)) ** 2, jnp.float32)
     vb = base.init(jax.random.PRNGKey(0), amp)
+    aux_b = {k: v for k, v in vb.items() if k != "params"}
 
-    def base_loss(v, a, t):
-        p = jax.tree_util.tree_map(
-            lambda x: x.astype(cd) if x.dtype == jnp.float32 else x, v)
-        est = base.apply(p, a.astype(cd), train=True)
+    def base_loss(p, a, t):
+        v = {"params": _cast(p), **_cast(aux_b)}
+        est, _ = base.apply(v, a.astype(cd), train=True,
+                            mutable=list(aux_b.keys()))
         return jnp.mean((est.astype(jnp.float32) - t) ** 2)
 
     bgfn = jax.value_and_grad(base_loss)
 
-    def base_grad_once(v, a, t):
-        _, g = bgfn(v, a, t)
-        return jax.tree_util.tree_map(lambda p, gi: p - 1e-20 * gi, v, g)
+    def base_grad_once(p, a, t):
+        _, g = bgfn(p, a, t)
+        return jax.tree_util.tree_map(lambda pi, gi: pi - 1e-20 * gi, p, g)
 
+    pb = vb["params"]
     print("[stage] spec-domain model grad chain...", flush=True)
-    ms_base = timed_scan(base_grad_once, vb, amp, amp_t, iters=4)
-    f_base = flops_of(jax.jit(bgfn), vb, amp, amp_t)
+    ms_base = timed_scan(base_grad_once, pb, amp, amp_t, iters=4)
+    f_base = flops_of(jax.jit(bgfn), pb, amp, amp_t)
     print(f"spec-model fwd+bwd (no STFT): {ms_base:7.2f} ms  "
           f"({f_base / (ms_base / 1e3) / PEAK:5.1%} MFU of {f_base / 1e9:.1f} GF)",
           flush=True)

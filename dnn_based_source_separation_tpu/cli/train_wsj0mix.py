@@ -95,6 +95,9 @@ def build_parser():
                         "file IO from epochs 2+)")
     p.add_argument("--n_devices", type=int, default=None, help="mesh data-parallel size")
     p.add_argument("--mixed_precision", type=int, default=0, help="bf16 compute, f32 master params")
+    p.add_argument("--time_budget_min", type=float, default=None,
+                   help="stop after this many wall-clock minutes (epoch "
+                        "boundary; last.ckpt still written, resumable)")
     return p
 
 
@@ -112,6 +115,8 @@ def main(args=None):
         epochs=args.epochs, exp_dir=args.exp_dir,
         continue_from=args.continue_from, overwrite=bool(args.overwrite),
         sample_rate=args.sample_rate,
+        time_budget_sec=(args.time_budget_min * 60.0
+                         if args.time_budget_min else None),
     )
     import jax.numpy as jnp
 

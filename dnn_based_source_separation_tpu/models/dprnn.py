@@ -21,12 +21,21 @@ EPS = 1e-12
 
 
 class IntraChunkRNN(nn.Module):
-    """Per-chunk BiLSTM + fc + gLN + residual (reference :51-95)."""
+    """Per-chunk BiLSTM + fc + gLN + residual (reference :51-95).
+
+    `stream_safe=True` (serving profile) replaces the gLN — whose statistics
+    span the WHOLE utterance, so the reference's "causal" DPRNN actually
+    reads arbitrarily far into the future here — with a cumulative LN over
+    the time-major chunk order (s major, k minor): position (s, k) sees only
+    chunks <= s, all of which are fully available once chunk s is, so the
+    block is exactly streamable. Default False preserves reference parity.
+    """
 
     num_features: int
     hidden_channels: int
     norm: bool = True
     rnn_type: str = "lstm"
+    stream_safe: bool = False
     eps: float = EPS
 
     @nn.compact
@@ -34,22 +43,38 @@ class IntraChunkRNN(nn.Module):
         B, S, K, N = x.shape
         residual = x
         h = x.reshape(B * S, K, N)
-        h = choose_rnn(self.rnn_type, self.hidden_channels, bidirectional=True, parent_name="rnn")(h)
+        # Chunk-local recurrence: never carries state across streamed calls.
+        h = choose_rnn(self.rnn_type, self.hidden_channels, bidirectional=True,
+                       parent_name="rnn", stream_state=False)(h)
         h = nn.Dense(self.num_features, name="fc")(h)
         h = h.reshape(B, S * K, N)
         if self.norm:
-            h = choose_layer_norm("gLN", N, eps=self.eps)(h)
+            if self.stream_safe:
+                h = choose_layer_norm("cLN", N, causal=True, eps=self.eps)(h)
+            else:
+                h = choose_layer_norm("gLN", N, eps=self.eps)(h)
         return h.reshape(B, S, K, N) + residual
 
 
 class InterChunkRNN(nn.Module):
-    """Across-chunk (Bi)LSTM + fc + norm + residual (reference :96-171)."""
+    """Across-chunk (Bi)LSTM + fc + norm + residual (reference :96-171).
+
+    `stream_safe=True` changes the causal-cLN flattening from the
+    reference's chunk-major order (position k*S + s: the cumulative stats at
+    within-chunk position k include FUTURE chunks at positions < k —
+    reference src/models/dprnn.py:139-141, not streamable and not actually
+    causal) to time-major order (s*K + k: chunk s sees only chunks <= s).
+    The uni-directional RNN over the chunk axis carries its final hidden
+    state in the 'stream' collection, so chunked application continues the
+    scan exactly.
+    """
 
     num_features: int
     hidden_channels: int
     causal: bool = False
     norm: bool = True
     rnn_type: str = "lstm"
+    stream_safe: bool = False
     eps: float = EPS
 
     @nn.compact
@@ -65,10 +90,16 @@ class InterChunkRNN(nn.Module):
         h = h.reshape(B, K, S, N)
         if self.norm:
             norm_name = "cLN" if self.causal else "gLN"
-            # Reference normalizes the (chunk_size*S) flattened sequence.
-            h = h.reshape(B, K * S, N)
-            h = choose_layer_norm(norm_name, N, causal=self.causal, eps=self.eps)(h)
-            h = h.reshape(B, K, S, N)
+            if self.stream_safe:
+                # time-major: (B, S, K, N) -> (B, S*K, N)
+                h = jnp.swapaxes(h, 1, 2).reshape(B, S * K, N)
+                h = choose_layer_norm(norm_name, N, causal=self.causal, eps=self.eps)(h)
+                h = jnp.swapaxes(h.reshape(B, S, K, N), 1, 2)
+            else:
+                # Reference normalizes the (chunk_size*S) flattened sequence.
+                h = h.reshape(B, K * S, N)
+                h = choose_layer_norm(norm_name, N, causal=self.causal, eps=self.eps)(h)
+                h = h.reshape(B, K, S, N)
         return jnp.swapaxes(h, 1, 2) + residual
 
 
@@ -78,17 +109,20 @@ class DPRNNBlock(nn.Module):
     causal: bool = False
     norm: bool = True
     rnn_type: str = "lstm"
+    stream_safe: bool = False
     eps: float = EPS
 
     @nn.compact
     def __call__(self, x):
         x = IntraChunkRNN(
             self.num_features, self.hidden_channels, norm=self.norm,
-            rnn_type=self.rnn_type, eps=self.eps, name="intra_chunk_block",
+            rnn_type=self.rnn_type, stream_safe=self.stream_safe,
+            eps=self.eps, name="intra_chunk_block",
         )(x)
         x = InterChunkRNN(
             self.num_features, self.hidden_channels, causal=self.causal,
-            norm=self.norm, rnn_type=self.rnn_type, eps=self.eps, name="inter_chunk_block",
+            norm=self.norm, rnn_type=self.rnn_type, stream_safe=self.stream_safe,
+            eps=self.eps, name="inter_chunk_block",
         )(x)
         return x
 
@@ -102,6 +136,7 @@ class DPRNN(nn.Module):
     norm: bool = True
     causal: bool = False
     rnn_type: str = "lstm"
+    stream_safe: bool = False
     eps: float = EPS
 
     @nn.compact
@@ -109,6 +144,7 @@ class DPRNN(nn.Module):
         for idx in range(self.num_blocks):
             x = DPRNNBlock(
                 self.num_features, self.hidden_channels, causal=self.causal,
-                norm=self.norm, rnn_type=self.rnn_type, eps=self.eps, name=f"block{idx}",
+                norm=self.norm, rnn_type=self.rnn_type,
+                stream_safe=self.stream_safe, eps=self.eps, name=f"block{idx}",
             )(x)
         return x

@@ -116,15 +116,53 @@ class ExactStreamingSeparator:
             raise ValueError(
                 f"hop_samples must be a multiple of stride={S} and >= "
                 f"kernel_size={L}")
+        # Dual-path (chunked) separators: the mask stream lags the latent
+        # stream by D = chunk_size - hop_size frames (an emitted frame's
+        # chunk is complete only D frames later), so a D-frame latent delay
+        # buffer realigns mask and latent, and the first D*S output samples
+        # (the offline left pad's image) are trimmed.
+        self._D = 0
+        self._P = 1  # latent hop-grid quantum (frames per separator call)
+        if hasattr(model, "sep_chunk_size"):
+            if not getattr(model, "stream_safe", False):
+                raise NotImplementedError(
+                    "exact streaming of a dual-path model requires "
+                    "stream_safe=True: the reference-parity causal mode "
+                    "reads future chunks through its norms (see "
+                    "models/dprnn.py) and cannot be streamed")
+            if model.rnn_type not in ("lstm", "gru"):
+                raise NotImplementedError(
+                    "exact dual-path streaming carries RNN state for "
+                    "rnn_type 'lstm'/'gru' only")
+            K, P = int(model.sep_chunk_size), int(model.sep_hop_size)
+            self._D, self._P = K - P, P
+            if (hop_samples - L) // S + 1 < P:
+                raise ValueError(
+                    f"hop_samples={hop_samples} yields fewer than "
+                    f"hop_size={P} latent frames per call; raise it to at "
+                    f"least {(P - 1) * S + L}")
         self.hop, self.L, self.S = int(hop_samples), L, S
         self.params = {"params": variables["params"]}
         self._model = model
         self._pending = np.zeros((1, 0), np.float32)  # unframed input samples
         self._tail = None  # decoder OLA carry, (n_src, L - S)
+        self._w_delay = None  # latent delay buffer, (1, D + pend_frames, N)
+        self._skip = 0  # head samples to trim (the left pad's image)
         self._state = None  # separator 'stream' collection
         self._steps = {}
 
-        def step(params, state, x, tail):
+        def _decode_ola(params, w_use, mask, tail):
+            w_hat = w_use[:, None] * mask
+            x_hat = self._model.apply(
+                params, w_hat, method=lambda m, a: m.decoder(a))[..., 0]
+            x_hat = x_hat[0]  # (n_src, (m_f-1)*S + L)
+            n_out = x_hat.shape[-1] - (L - S)
+            head = x_hat[..., : L - S] + tail
+            emitted = jnp.concatenate([head, x_hat[..., L - S : n_out]], -1)
+            new_tail = x_hat[..., n_out:]
+            return emitted, new_tail
+
+        def step(params, state, x, tail, w_delay):
             # x: (1, T_in) with (T_in - L) % S == 0; replicates
             # skeleton.extract_latent chunk-wise.
             xin = x[:, None, :]  # (B=1, C=1, T)
@@ -134,20 +172,40 @@ class ExactStreamingSeparator:
             mask, mut = self._model.apply(
                 {**params, "stream": state}, w,
                 method=lambda m, a: m.separator(a), mutable=["stream"])
-            w_hat = w[:, None] * mask
-            x_hat = self._model.apply(
-                params, w_hat, method=lambda m, a: m.decoder(a))[..., 0]
-            x_hat = x_hat[0]  # (n_src, (n_f-1)*S + L)
-            n_out = x_hat.shape[-1] - (L - S)
-            head = x_hat[..., : L - S] + tail
-            emitted = jnp.concatenate([head, x_hat[..., L - S : n_out]], -1)
-            new_tail = x_hat[..., n_out:]
+            w_avail = jnp.concatenate([w_delay, w], axis=1)
+            m_f = mask.shape[2]  # == w frames unless the separator chunks
+            emitted, new_tail = _decode_ola(
+                params, w_avail[:, :m_f], mask, tail)
+            return emitted, mut["stream"], new_tail, w_avail[:, m_f:]
+
+        def final_step(params, state, x, tail, w_delay):
+            # Chunked separators only: x carries the last r < hop_size
+            # latent frames of samples (possibly none). The separator
+            # right-pads them to the hop grid at the latent level (the
+            # offline pr pad) and emits ALL remaining real mask frames —
+            # exactly (K - P) + r, matching w_delay + the new frames.
+            if x.shape[-1]:
+                w = self._model.apply(
+                    params, jnp.moveaxis(x[:, None, :], 1, 2),
+                    method=lambda m, a: m.encoder(a))
+            else:
+                w = jnp.zeros((1, 0) + w_delay.shape[2:], w_delay.dtype)
+            mask, mut = self._model.apply(
+                {**params, "stream": state}, w,
+                method=lambda m, a: m.separator(a), mutable=["stream"])
+            w_avail = jnp.concatenate([w_delay, w], axis=1)
+            assert mask.shape[2] == w_avail.shape[1], (
+                "final emission must consume the whole latent stream",
+                mask.shape, w_avail.shape)
+            emitted, new_tail = _decode_ola(params, w_avail, mask, tail)
             return emitted, mut["stream"], new_tail
 
-        # Public pure step: (params, state, x, tail) -> (emitted, state,
-        # tail). Reused by the on-device latency bench (lax.scan-able) so
-        # there is exactly one copy of the exact-streaming semantics.
+        # Public pure step: (params, state, x, tail, w_delay) -> (emitted,
+        # state, tail, w_delay). Reused by the on-device latency bench
+        # (lax.scan-able) so there is exactly one copy of the
+        # exact-streaming semantics.
         self.step = step
+        self._final = jax.jit(final_step)
 
     def _compiled(self, t_in: int):
         if t_in not in self._steps:
@@ -171,9 +229,29 @@ class ExactStreamingSeparator:
         shapes = jax.eval_shape(state_tree, self.params, x)
         self._state = jax.tree_util.tree_map(
             lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        n_src = int(self._model.n_sources)
+        self._tail = jnp.zeros((n_src, self.L - self.S), jnp.float32)
+        self._w_delay = jnp.zeros(
+            (1, self._D, int(self._model.n_basis)), jnp.float32)
+        self._skip = self._D * self.S
+
+    def _run(self, x, t_in) -> np.ndarray:
+        emitted, self._state, self._tail, self._w_delay = self._compiled(
+            t_in)(self.params, self._state, x, self._tail, self._w_delay)
+        emitted = np.asarray(emitted)
+        if self._skip:  # head trim: the offline left pad's zero image
+            cut = min(self._skip, emitted.shape[-1])
+            emitted = emitted[..., cut:]
+            self._skip -= cut
+        return emitted
 
     def process(self, block: np.ndarray) -> np.ndarray:
-        """block (hop,) or (1, hop) new samples -> (n_sources, emitted)."""
+        """block (hop,) or (1, hop) new samples -> (n_sources, emitted).
+
+        For chunked (dual-path) models the emitted length varies around hop
+        at the stream head (latent delay + hop-grid staging); concatenating
+        all emissions + finish() reproduces the offline output exactly.
+        """
         block = np.asarray(block, np.float32)
         if block.ndim == 1:
             block = block[None]
@@ -181,16 +259,20 @@ class ExactStreamingSeparator:
             f"blocks must be exactly hop={self.hop} samples")
         buf = np.concatenate([self._pending, block], axis=-1)
         n_f = (buf.shape[-1] - self.L) // self.S + 1
-        t_in = (n_f - 1) * self.S + self.L
+        # Hop-grid alignment happens HERE, at the sample level, so every
+        # stream-state array keeps a call-count-invariant shape (a latent
+        # pending buffer inside the jitted state would change shape between
+        # the first and later calls and break priming/compile reuse).
+        n_use = (n_f // self._P) * self._P
+        if n_use == 0:
+            self._pending = buf
+            return np.zeros((int(self._model.n_sources), 0), np.float32)
+        t_in = (n_use - 1) * self.S + self.L
         x = jnp.asarray(buf[:, :t_in])
-        self._pending = buf[:, n_f * self.S :]
+        self._pending = buf[:, n_use * self.S :]
         if self._state is None:
             self._prime(x)
-            n_src = int(self._model.n_sources)
-            self._tail = jnp.zeros((n_src, self.L - self.S), jnp.float32)
-        emitted, self._state, self._tail = self._compiled(t_in)(
-            self.params, self._state, x, self._tail)
-        return np.asarray(emitted)
+        return self._run(x, t_in)
 
     def flush(self) -> np.ndarray:
         """Emit the final overlap-add tail (kernel_size - stride samples)."""
@@ -203,11 +285,16 @@ class ExactStreamingSeparator:
         """End the stream with an arbitrary-length final block (may be
         shorter than hop), emitting everything that remains.
 
-        Frames exactly the remaining samples — no zero-pad-to-hop, whose
-        extra frames would see real samples through their window and change
-        the final kernel_size - stride output samples vs offline. The
-        leftover pending + block must land on the stride grid
-        ((total - L) % S == 0), as the offline pass's own padding does.
+        Frames exactly the remaining samples — no zero-pad-to-hop at the
+        SAMPLE level, whose extra frames would see real samples through
+        their window and change the final kernel_size - stride output
+        samples vs offline. The leftover pending + block must land on the
+        stride grid ((total - L) % S == 0), as the offline pass's own
+        padding does. For chunked (dual-path) separators any number of
+        latent frames is fine: leftover frames off the hop grid are
+        right-padded to one hop at the LATENT level inside the separator —
+        exactly the offline pass's pr pad — and trimmed, so streamed ==
+        offline for every stride-grid length.
         """
         parts = [self._pending]
         if block is not None:
@@ -216,25 +303,46 @@ class ExactStreamingSeparator:
         buf = np.concatenate(parts, axis=-1)
         self._pending = np.zeros((1, 0), np.float32)
         pieces = []
+        n_f = 0
         if buf.shape[-1] >= self.L:
             assert (buf.shape[-1] - self.L) % self.S == 0, (
                 f"final block leaves {buf.shape[-1]} samples, off the "
                 f"stride grid (L={self.L}, S={self.S})")
             n_f = (buf.shape[-1] - self.L) // self.S + 1
-            t_in = (n_f - 1) * self.S + self.L
+        n_full = (n_f // self._P) * self._P
+        if n_full:
+            t_in = (n_full - 1) * self.S + self.L
             x = jnp.asarray(buf[:, :t_in])
             if self._state is None:
                 self._prime(x)
-                self._tail = jnp.zeros(
-                    (int(self._model.n_sources), self.L - self.S), jnp.float32)
-            emitted, self._state, self._tail = self._compiled(t_in)(
-                self.params, self._state, x, self._tail)
-            pieces.append(np.asarray(emitted))
+            pieces.append(self._run(x, t_in))
+        if self._D:
+            # Final separator call: the r < hop_size leftover frames are
+            # right-padded to the hop grid at the LATENT level inside the
+            # separator (the offline pr pad) and every remaining real mask
+            # frame comes out in one shot.
+            r = n_f - n_full
+            if self._state is None:  # stream shorter than one hop
+                self._prime(jnp.zeros(
+                    (1, (self._P - 1) * self.S + self.L), jnp.float32))
+            xr = (jnp.asarray(buf[:, n_full * self.S :]) if r
+                  else jnp.zeros((1, 0), jnp.float32))
+            emitted, self._state, self._tail = self._final(
+                self.params, self._state, xr, self._tail, self._w_delay)
+            self._w_delay = self._w_delay[:, :0]
+            emitted = np.asarray(emitted)
+            if self._skip:
+                cut = min(self._skip, emitted.shape[-1])
+                emitted = emitted[..., cut:]
+                self._skip -= cut
+            pieces.append(emitted)
         pieces.append(self.flush())
         return np.concatenate(pieces, axis=-1)
 
     def reset(self):
+        """Restart the stream (state re-primed lazily on the next call)."""
         self._pending = np.zeros((1, 0), np.float32)
-        if self._state is not None:
-            self._state = jax.tree_util.tree_map(jnp.zeros_like, self._state)
-            self._tail = jnp.zeros_like(self._tail)
+        self._state = None
+        self._tail = None
+        self._w_delay = None
+        self._skip = 0

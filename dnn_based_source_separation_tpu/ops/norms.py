@@ -7,15 +7,50 @@ reference computes the same cumulative sums, torch-side).
 """
 from __future__ import annotations
 
+from functools import partial
+
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
 def global_layer_norm(x, gamma, beta, eps: float = 1e-8):
-    """Normalize over (T, N) jointly per sample. x: (..., T, N)."""
+    """Normalize over (T, N) jointly per sample. x: (..., T, N).
+
+    custom_vjp: the hand-derived fused backward replaces autodiff's chain
+    of mean/var/rsqrt gradients (which materializes several full-size
+    intermediates — HBM traffic the TDCN backward pass is bound by) with
+    one pass: dx = rstd * (g - mean(g) - xhat * mean(g*xhat)), g = dy*gamma.
+    Residuals are (xhat, rstd, gamma) — no extra full tensors beyond what
+    autodiff would save.
+    """
     mean = jnp.mean(x, axis=(-2, -1), keepdims=True)
     var = jnp.mean(jnp.square(x - mean), axis=(-2, -1), keepdims=True)
     return gamma * (x - mean) / jnp.sqrt(var + eps) + beta
+
+
+def _gln_fwd(x, gamma, beta, eps):
+    mean = jnp.mean(x, axis=(-2, -1), keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=(-2, -1), keepdims=True)
+    rstd = 1.0 / jnp.sqrt(var + eps)
+    xhat = (x - mean) * rstd
+    return gamma * xhat + beta, (xhat, rstd, gamma)
+
+
+def _gln_bwd(eps, res, dy):
+    xhat, rstd, gamma = res
+    g = dy * gamma
+    m1 = jnp.mean(g, axis=(-2, -1), keepdims=True)
+    m2 = jnp.mean(g * xhat, axis=(-2, -1), keepdims=True)
+    dx = rstd * (g - m1 - xhat * m2)
+    red = tuple(range(dy.ndim - 1))
+    dgamma = jnp.sum(dy * xhat, axis=red)
+    dbeta = jnp.sum(dy, axis=red)
+    return dx, dgamma, dbeta
+
+
+global_layer_norm.defvjp(_gln_fwd, _gln_bwd)
 
 
 def cumulative_layer_norm(x, gamma, beta, eps: float = 1e-8):
@@ -71,6 +106,8 @@ class CumulativeLayerNorm(nn.Module):
         stats = self.variable(
             "stream", "stats",
             lambda: jnp.zeros(x.shape[:-2] + (1, 3), jnp.float32))
+        if x.shape[-2] == 0:  # drain call: nothing to normalize or accumulate
+            return x
         t0, s0, q0 = (stats.value[..., 0], stats.value[..., 1],
                       stats.value[..., 2])
         N = x.shape[-1]

@@ -108,6 +108,9 @@ class LSTM(nn.Module):
     num_layers: int = 1
     bidirectional: bool = False
     dropout: float = 0.0
+    # Opt-out for chunk-LOCAL recurrences inside a streamed model (e.g. the
+    # dual-path intra-chunk BiLSTM): their state must NOT carry across calls.
+    stream_state: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -119,7 +122,8 @@ class LSTM(nn.Module):
         # offline pass. Unidirectional (causal) stacks only — a backward
         # chain cannot stream.
         streaming = (self.is_mutable_collection("stream")
-                     and not self.is_initializing())
+                     and not self.is_initializing()
+                     and self.stream_state)
         if streaming and self.bidirectional:
             raise NotImplementedError(
                 "exact streaming requires a unidirectional (causal) LSTM")
@@ -176,6 +180,7 @@ class GRU(nn.Module):
     num_layers: int = 1
     bidirectional: bool = False
     dropout: float = 0.0
+    stream_state: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -183,7 +188,8 @@ class GRU(nn.Module):
 
         H = self.hidden_size
         streaming = (self.is_mutable_collection("stream")
-                     and not self.is_initializing())
+                     and not self.is_initializing()
+                     and self.stream_state)
         if streaming and self.bidirectional:
             raise NotImplementedError(
                 "exact streaming requires a unidirectional (causal) GRU")
@@ -278,6 +284,7 @@ class SRU(nn.Module):
     num_layers: int = 1
     bidirectional: bool = False
     dropout: float = 0.0
+    stream_state: bool = True  # accepted, unused: SRU has no exact-stream path
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -315,6 +322,7 @@ class RNN(nn.Module):
     num_layers: int = 1
     bidirectional: bool = False
     dropout: float = 0.0
+    stream_state: bool = True  # accepted, unused: vanilla RNN is not streamed
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -337,9 +345,9 @@ class RNN(nn.Module):
         return x
 
 
-def choose_rnn(name: str, hidden_size: int, num_layers: int = 1, bidirectional: bool = False, dropout: float = 0.0, parent_name: Optional[str] = None):
+def choose_rnn(name: str, hidden_size: int, num_layers: int = 1, bidirectional: bool = False, dropout: float = 0.0, parent_name: Optional[str] = None, stream_state: bool = True):
     """Factory mirroring reference `src/utils/model.py:22`."""
     table = {"rnn": RNN, "lstm": LSTM, "gru": GRU, "sru": SRU}
     if name not in table:
         raise NotImplementedError(f"Unsupported rnn type: {name}")
-    return table[name](hidden_size=hidden_size, num_layers=num_layers, bidirectional=bidirectional, dropout=dropout, name=parent_name)
+    return table[name](hidden_size=hidden_size, num_layers=num_layers, bidirectional=bidirectional, dropout=dropout, name=parent_name, stream_state=stream_state)

@@ -69,18 +69,19 @@ def bench_multistream(hop_ms: int = 16, stream_counts=(16, 64, 256)):
             0.1 * rng.standard_normal((N, M, 1, hop)), jnp.float32)
         stM = jax.tree_util.tree_map(
             lambda a: jnp.broadcast_to(a, (M,) + a.shape), st0)
-        step_v = jax.vmap(es.step, in_axes=(None, 0, 0, 0))
+        step_v = jax.vmap(es.step, in_axes=(None, 0, 0, 0, 0))
 
         def chain(p, blocks, stM):
             def scan_step(carry, block):
-                st, enc_c, tail = carry
+                st, enc_c, tail, wd = carry
                 x = jnp.concatenate([enc_c, block], axis=-1)
-                emitted, st, tail = step_v(p, st, x, tail)
-                return ((st, x[..., -(L - S):], tail),
+                emitted, st, tail, wd = step_v(p, st, x, tail, wd)
+                return ((st, x[..., -(L - S):], tail, wd),
                         jnp.sum(emitted.astype(jnp.float32)))
 
             carry0 = (stM, jnp.zeros((M, 1, L - S), jnp.float32),
-                      jnp.zeros((M, model.n_sources, L - S), jnp.float32))
+                      jnp.zeros((M, model.n_sources, L - S), jnp.float32),
+                      jnp.zeros((M, 1, 0, model.n_basis), jnp.float32))
             _, outs = jax.lax.scan(scan_step, carry0, blocks)
             return outs[-1]
 
@@ -182,14 +183,15 @@ def main():
             # each scanned step consumes carry+block = hop+L-S samples, the
             # steady-state shape of the serving wrapper.
             def scan_step(carry, block):
-                st, enc_c, tail = carry
+                st, enc_c, tail, wd = carry
                 x = jnp.concatenate([enc_c, block], axis=-1)
-                emitted, st, tail = es.step(p, st, x, tail)
-                return ((st, x[:, -(L - S):], tail),
+                emitted, st, tail, wd = es.step(p, st, x, tail, wd)
+                return ((st, x[:, -(L - S):], tail, wd),
                         jnp.sum(emitted.astype(jnp.float32)))
 
             carry0 = (st0, jnp.zeros((1, L - S), jnp.float32),
-                      jnp.zeros((model.n_sources, L - S), jnp.float32))
+                      jnp.zeros((model.n_sources, L - S), jnp.float32),
+                      jnp.zeros((1, 0, model.n_basis), jnp.float32))
             _, outs = jax.lax.scan(scan_step, carry0, blocks)
             return outs[-1]
 

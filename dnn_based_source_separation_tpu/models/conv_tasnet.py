@@ -47,6 +47,7 @@ class Separator(nn.Module):
     norm: bool = True
     mask_nonlinear: str = "sigmoid"
     n_sources: int = 2
+    remat: str = "none"
     eps: float = EPS
 
     @nn.compact
@@ -67,6 +68,7 @@ class Separator(nn.Module):
             causal=self.causal,
             nonlinear=self.nonlinear,
             norm=self.norm,
+            remat=self.remat,
             eps=self.eps,
             name="tdcn",
         )(x)
@@ -108,6 +110,7 @@ class ConvTasNet(nn.Module, LatentMaskingMixin, SeparationModelMixin):
     mask_nonlinear: str = "sigmoid"
     causal: bool = True
     n_sources: int = 2
+    sep_remat: str = "none"  # remat policy for the TDCN blocks (training)
     eps: float = EPS
     in_channels: int = 1
 
@@ -150,6 +153,7 @@ class ConvTasNet(nn.Module, LatentMaskingMixin, SeparationModelMixin):
             norm=self.sep_norm,
             mask_nonlinear=self.mask_nonlinear,
             n_sources=self.n_sources,
+            remat=self.sep_remat,
             eps=self.eps,
         )
 

@@ -16,12 +16,41 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.norms import choose_layer_norm
 from .modules import PReLU
 
 EPS = 1e-12
+
+
+class DepthwiseConv1dShift(nn.Module):
+    """Stride-1 dilated depthwise conv as K shifted fused-multiply-adds.
+
+    Mathematically identical to `nn.Conv(features=C, feature_group_count=C,
+    padding=VALID)` with an IDENTICAL parameter pytree (kernel (K, 1, C) +
+    bias), but lowered as K strided slices * broadcast weights — pure
+    elementwise FMAs XLA fuses into the surrounding pointwise chain, instead
+    of a grouped-convolution op. The depthwise convs are <1% of the TDCN's
+    FLOPs; this removes their (and their gradients') un-fused kernel cost.
+    """
+
+    in_channels: int
+    kernel_size: int = 3
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        C, K, d = self.in_channels, self.kernel_size, self.dilation
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (K, 1, C))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        T_out = x.shape[-2] - (K - 1) * d
+        y = bias
+        for k in range(K):
+            y = y + x[..., k * d : k * d + T_out, :] * kernel[k, 0]
+        return y
 
 
 class DepthwiseSeparableConv1d(nn.Module):
@@ -45,15 +74,23 @@ class DepthwiseSeparableConv1d(nn.Module):
     @nn.compact
     def __call__(self, x):
         C = self.in_channels
-        x = nn.Conv(
-            features=C,
-            kernel_size=(self.kernel_size,),
-            strides=(self.stride,),
-            kernel_dilation=(self.dilation,),
-            feature_group_count=C,
-            padding="VALID",
-            name="depthwise_conv1d",
-        )(x)
+        if self.stride == 1:
+            x = DepthwiseConv1dShift(
+                in_channels=C,
+                kernel_size=self.kernel_size,
+                dilation=self.dilation,
+                name="depthwise_conv1d",
+            )(x)
+        else:
+            x = nn.Conv(
+                features=C,
+                kernel_size=(self.kernel_size,),
+                strides=(self.stride,),
+                kernel_dilation=(self.dilation,),
+                feature_group_count=C,
+                padding="VALID",
+                name="depthwise_conv1d",
+            )(x)
         if self.nonlinear == "prelu":
             x = PReLU(name="nonlinear1d")(x)
         elif self.nonlinear is not None:
@@ -168,16 +205,30 @@ class TimeDilatedConvBlock1d(nn.Module):
     nonlinear: Optional[str] = None
     norm: bool = True
     dual_head: bool = True
+    remat: str = "none"  # "none" | "block" (save nothing) | "dots" (save matmuls)
     eps: float = EPS
 
     @nn.compact
     def __call__(self, x):
+        # Rematerialisation per residual block: the training backward pass
+        # is HBM-bandwidth bound on the saved hidden_channels-wide
+        # intermediates (4x the block I/O width); rematerialising them from
+        # the block input trades cheap recompute FLOPs for that traffic.
+        if self.remat == "none":
+            Block = ResidualBlock1d
+        elif self.remat == "block":
+            Block = nn.remat(ResidualBlock1d, prevent_cse=False)
+        elif self.remat == "dots":
+            Block = nn.remat(ResidualBlock1d, prevent_cse=False,
+                             policy=jax.checkpoint_policies.dots_saveable)
+        else:
+            raise ValueError(f"Unsupported remat mode: {self.remat}")
         skip_connection = 0.0
         for idx in range(self.num_layers):
             dilation = 2**idx if self.dilated else 1
             stride = 1 if self.dilated else 2
             last = (not self.dual_head) and idx == self.num_layers - 1
-            x_out, skip = ResidualBlock1d(
+            x_out, skip = Block(
                 num_features=self.num_features,
                 hidden_channels=self.hidden_channels,
                 skip_channels=self.skip_channels,
@@ -212,6 +263,7 @@ class TimeDilatedConvNet(nn.Module):
     causal: bool = True
     nonlinear: Optional[str] = None
     norm: bool = True
+    remat: str = "none"
     eps: float = EPS
 
     @nn.compact
@@ -231,6 +283,7 @@ class TimeDilatedConvNet(nn.Module):
                 nonlinear=self.nonlinear,
                 norm=self.norm,
                 dual_head=dual_head,
+                remat=self.remat,
                 eps=self.eps,
                 name=f"block{idx}",
             )(x)

@@ -82,6 +82,8 @@ def build_parser():
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--exp_dir", type=str, default="./exp")
     p.add_argument("--continue_from", type=str, default=None)
+    p.add_argument("--time_budget_sec", type=float, default=None,
+                   help="stop after this wall-clock budget (soak harnesses)")
     p.add_argument("--overwrite", type=int, default=0)
     p.add_argument("--seed", type=int, default=111)
     p.add_argument("--num_workers", type=int, default=0, help="background loader threads")
@@ -290,6 +292,7 @@ def main(args=None):
         epochs=args.epochs, exp_dir=args.exp_dir,
         continue_from=args.continue_from, overwrite=bool(args.overwrite),
         sample_rate=args.sample_rate, save_valid_wavs=0,
+        time_budget_sec=args.time_budget_sec,
     )
     # UMX/X-UMX apply inter-layer LSTM dropout when training; D3Net has none.
     import jax

@@ -123,3 +123,86 @@ def test_attn_mask_torch_convention():
     }}
     ours = model.apply(params, jnp.asarray(x.numpy()), attn_mask=jnp.asarray(mask.numpy()))
     np.testing.assert_allclose(np.asarray(ours), expected.detach().numpy(), atol=1e-5)
+
+
+def test_depthwise_shift_matches_grouped_conv():
+    """DepthwiseConv1dShift == nn.Conv(feature_group_count=C), same pytree.
+
+    The TDCN's stride-1 dilated depthwise convs auto-dispatch to the
+    shift-multiply lowering (models/tdcn.py); this pins the exact
+    functional + parameter-pytree equivalence that makes checkpoints
+    interchangeable between the two lowerings.
+    """
+    import flax.linen as nn
+
+    from dnn_based_source_separation_tpu.models.tdcn import DepthwiseConv1dShift
+
+    C, K, d, T = 12, 3, 4, 40
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, T + (K - 1) * d, C)), jnp.float32)
+    shift = DepthwiseConv1dShift(in_channels=C, kernel_size=K, dilation=d)
+    conv = nn.Conv(features=C, kernel_size=(K,), strides=(1,),
+                   kernel_dilation=(d,), feature_group_count=C, padding="VALID")
+    v = shift.init(jax.random.PRNGKey(0), x)
+    vc = conv.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_map(lambda a: a.shape, v)
+            == jax.tree_util.tree_map(lambda a: a.shape, vc))
+    np.testing.assert_allclose(np.asarray(shift.apply(v, x)),
+                               np.asarray(conv.apply(v, x)),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_tdcn_remat_matches_baseline():
+    """sep_remat block/dots: identical forward AND gradients vs no remat."""
+    from dnn_based_source_separation_tpu.models import ConvTasNet
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 1, 800)), jnp.float32)
+
+    def build(mode):
+        return ConvTasNet(
+            n_basis=16, kernel_size=16, stride=8, enc_basis="trainable",
+            dec_basis="trainable", sep_hidden_channels=12,
+            sep_bottleneck_channels=8, sep_skip_channels=8,
+            sep_num_blocks=2, sep_num_layers=2, causal=False, n_sources=2,
+            sep_remat=mode)
+
+    base = build("none")
+    v = base.init(jax.random.PRNGKey(0), x)
+
+    def loss(model, v):
+        return jnp.sum(jnp.square(model.apply(v, x)))
+
+    l0, g0 = jax.value_and_grad(lambda v: loss(base, v))(v)
+    for mode in ("block", "dots"):
+        m = build(mode)
+        l1, g1 = jax.value_and_grad(lambda v: loss(m, v))(v)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4), g0, g1)
+
+
+def test_gln_custom_vjp_matches_autodiff():
+    """global_layer_norm's fused backward == autodiff of the plain form."""
+    from dnn_based_source_separation_tpu.ops.norms import global_layer_norm
+
+    def plain(x, gamma, beta, eps=1e-8):
+        mean = jnp.mean(x, axis=(-2, -1), keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=(-2, -1), keepdims=True)
+        return gamma * (x - mean) / jnp.sqrt(var + eps) + beta
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((3, 17, 9)), jnp.float32)
+    gamma = jnp.asarray(rng.standard_normal(9), jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(9), jnp.float32)
+
+    def agg(fn):
+        def f(x, gamma, beta):
+            y = fn(x, gamma, beta)
+            return jnp.sum(jnp.sin(y))
+        return jax.grad(f, argnums=(0, 1, 2))(x, gamma, beta)
+
+    for a, b in zip(agg(global_layer_norm), agg(plain)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

@@ -41,9 +41,29 @@ PEAK = 197e12
 ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 
 
+def cpu_init(init_fn, *args):
+    """Run flax init on the host CPU backend: eager init through the axon
+    tunnel pays the ~25 ms per-op latency THOUSANDS of times for a big
+    model (measured: MMDenseLSTM init alone dominated a 37-minute probe
+    stage); on the in-process CPU it is sub-second. The Pallas LSTM path
+    cannot execute on CPU, so it is disabled for the init trace only —
+    parameter shapes are identical either way."""
+    saved = os.environ.get("DNNTPU_PALLAS_LSTM")
+    os.environ["DNNTPU_PALLAS_LSTM"] = "0"
+    try:
+        with jax.default_device(jax.devices("cpu")[0]):
+            v = init_fn(*args)
+    finally:
+        if saved is None:
+            os.environ.pop("DNNTPU_PALLAS_LSTM", None)
+        else:
+            os.environ["DNNTPU_PALLAS_LSTM"] = saved
+    return jax.device_put(v, jax.devices()[0])
+
+
 def bench(tag, model, x, audio_sec, train_arg=False):
     cd = jnp.bfloat16
-    v = model.init(jax.random.PRNGKey(0), x)
+    v = cpu_init(model.init, jax.random.PRNGKey(0), x)
     vb = jax.tree_util.tree_map(
         lambda a: a.astype(cd) if a.dtype == jnp.float32 else a, v)
     xb = x.astype(cd)
@@ -78,7 +98,17 @@ def main():
                 cfg = yaml.safe_load(f)
             for k, v in cfg.items():
                 if isinstance(v, dict) and "hidden_channels" in v:
-                    v["hidden_channels"] = [0] * len(v["hidden_channels"])
+                    hc = v["hidden_channels"]
+                    if isinstance(hc, list):
+                        # keep the RNN on depth-0 levels (the block's ONLY
+                        # content there — high band has one; removing it
+                        # would leave an empty level and break shapes)
+                        depth = v.get("depth", [1] * len(hc))
+                        if not isinstance(depth, list):
+                            depth = [depth] * len(hc)
+                        v["hidden_channels"] = [
+                            (h if d == 0 else 0) for h, d in zip(hc, depth)]
+                    # int hidden_channels (the 'full'/'final' sections) stay
             path = "/tmp/mmdl_rnn_off.yaml"
             with open(path, "w") as f:
                 yaml.safe_dump(cfg, f)
@@ -111,7 +141,7 @@ def main():
         spec = jnp.asarray(np.abs(rng.standard_normal((B, 2, 513, 128))),
                            jnp.float32)
         cond = jnp.tile(jnp.eye(4, dtype=jnp.float32)[:1], (B, 1))
-        v = base.init(jax.random.PRNGKey(0), spec, cond)
+        v = cpu_init(base.init, jax.random.PRNGKey(0), spec, cond)
         vb = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, v)
 

@@ -188,10 +188,12 @@ def main():
         ("inter_only", dict(use_intra=False)),
         ("seg_only", dict(use_intra=False, use_inter=False)),
     ]
+    from probe_2d_family import cpu_init  # host-side init (tunnel is ~25 ms/op)
+
     results = {}
     for tag, kw in variants:
         sep = ProbeSeparator(num_features=N, **kw)
-        v = sep.init(jax.random.PRNGKey(0), lat)
+        v = cpu_init(sep.init, jax.random.PRNGKey(0), lat)
         v = jax.tree_util.tree_map(lambda a: a.astype(cd), v)
 
         def fwd(c, v, lat):

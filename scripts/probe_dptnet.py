@@ -180,7 +180,7 @@ def main():
     lat = jnp.asarray(rng.standard_normal((B, Tlat, N)), cd)
     audio_sec = B * 4.0
 
-    variants = [
+    variants = [] if "--tail-only" in sys.argv else [
         ("full", dict()),
         ("mha_only", dict(use_lstm=False)),
         ("lstm_only", dict(use_mha=False)),
@@ -211,28 +211,35 @@ def main():
         print(f"{tag:11s} {ms:8.2f} ms  {f/(ms/1e3)/PEAK:5.1%} MFU of "
               f"{f/1e9:6.1f} GF   RTF {audio_sec/(ms/1e3):5.0f}", flush=True)
 
-    full, seg = results["full"][0], results["seg_only"][0]
-    print("\nsplit over segmentation baseline "
-          f"({seg:.1f} ms machinery):", flush=True)
-    for tag in ("mha_only", "lstm_only", "intra_only", "inter_only"):
-        print(f"  {tag:11s} adds {results[tag][0] - seg:8.2f} ms "
-              f"({(results[tag][0] - seg) / max(full - seg, 1e-9):5.1%} of "
-              "block time)", flush=True)
+    if results:
+        full, seg = results["full"][0], results["seg_only"][0]
+        print("\nsplit over segmentation baseline "
+              f"({seg:.1f} ms machinery):", flush=True)
+        for tag in ("mha_only", "lstm_only", "intra_only", "inter_only"):
+            print(f"  {tag:11s} adds {results[tag][0] - seg:8.2f} ms "
+                  f"({(results[tag][0] - seg) / max(full - seg, 1e-9):5.1%} of "
+                  "block time)", flush=True)
 
-    # Raw fused-bidir-LSTM cost at the two actual shapes.
+    # Raw fused-bidir-LSTM cost at the two actual shapes (xw is (B', L, 4H);
+    # tile plan mirrors _bidir_pallas_raw's halved per-stream VMEM budget).
     from dnn_based_source_separation_tpu.ops.pallas_lstm import (
-        _tile_plan, lstm_scan_bidir)
+        _VMEM_BLOCK_BYTES, _tile_plan, lstm_scan_bidir)
     S = (Tlat + 2 * 50 - 100) // 50 + 1  # after pad; ~how the separator segments
-    for label, Bp, L in (("intra", B * S, 100), ("inter", B * 100, S)):
+    for (label, Bp, L), dt in [
+        (s, d) for s in (("intra", B * S, 100), ("inter", B * 100, S))
+        for d in (jnp.float32, jnp.bfloat16)
+    ]:
         H = 256
         four_h = 4 * H
-        b_tile, chunk = _tile_plan(L, Bp, four_h, 4)
-        xw = jnp.asarray(rng.standard_normal((L, Bp, four_h)), jnp.float32)
-        whh = jnp.asarray(rng.standard_normal((H, four_h)) * 0.01, jnp.float32)
+        label = f"{label}/{jnp.dtype(dt).name}"
+        b_tile, chunk = _tile_plan(L, Bp, four_h, jnp.dtype(dt).itemsize,
+                                   budget=_VMEM_BLOCK_BYTES // 2)
+        xw = jnp.asarray(rng.standard_normal((Bp, L, four_h)), dt)
+        whh = jnp.asarray(rng.standard_normal((H, four_h)) * 0.01, dt)
 
         def run(c, xw, whh):
-            h = lstm_scan_bidir(xw + 1e-20 * c, xw, whh, whh)
-            return c + jnp.sum(h[..., ::499, :1])
+            hs_f, hs_b = lstm_scan_bidir(xw + 1e-20 * c, xw, whh, whh)
+            return c + jnp.sum(hs_f[..., ::499, :1])
 
         ms = timed_scan(run, jnp.float32(0.0), xw, whh, iters=4)
         n_seq = (Bp + b_tile - 1) // b_tile * L

@@ -347,8 +347,12 @@ def musdb_soak_orchestrate(args):
             "--num_workers", str(args.num_workers),
             "--cache_in_memory", str(args.cache),
             "--epochs", "10000", "--overwrite", "1"]
-    env = dict(os.environ, PYTHONPATH=os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), ".."))
+    # APPEND the repo root to PYTHONPATH: replacing it would drop entries
+    # the environment needs for backend plugin discovery (e.g. the axon
+    # TPU plugin living on the inherited PYTHONPATH).
+    repo_root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    env = dict(os.environ, PYTHONPATH=os.pathsep.join(
+        p for p in (os.environ.get("PYTHONPATH", ""), repo_root) if p))
     log_a = os.path.join(exp_dir, "musdb_soak_phase_a.log")
     print(f"phase A: UMX musdb18 recipe ~{phase_a_min:.1f} min then SIGKILL "
           f"(log: {log_a})", flush=True)

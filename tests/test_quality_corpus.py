@@ -61,3 +61,45 @@ def test_corpus_layout_and_mixing(tmp_path):
     # idempotent: second call reuses the list
     wav_root2, list_path2 = write_quality_corpus(root, "tt", n_utts=3)
     assert list_path2 == list_path
+
+
+def test_musdb_quality_corpus_layout_and_disjointness(tmp_path):
+    from dnn_based_source_separation_tpu.data.synthetic import (
+        _MUSDB_QUALITY_SPLITS,
+        _musdb_range,
+        write_musdb_quality_corpus,
+    )
+
+    root = str(tmp_path)
+    write_musdb_quality_corpus(root, n_train=2, n_valid=1, n_test=2,
+                               track_sec=1.0, sample_rate=8000)
+
+    # musdb18 layout: valid names live under train/ but are excluded from
+    # the training subset; test/ is a separate directory + list.
+    from dnn_based_source_separation_tpu.data import musdb18 as musdb
+
+    tr = musdb._MUSDB18Base(root, subset="train")
+    va = musdb._MUSDB18Base(root, subset="valid")
+    te = musdb._MUSDB18Base(root, subset="test")
+    assert len(tr.names) == 2 and len(va.names) == 1 and len(te.names) == 2
+    assert not (set(tr.names) & set(va.names))
+    assert not ((set(tr.names) | set(va.names)) & set(te.names))
+
+    # mixture == sum of stems up to PCM16 quantization; stems are not silent
+    ds = musdb.WaveTestDataset(root)
+    for _, mix, refs in ds:
+        assert refs.shape[0] == 4 and mix.shape[1:] == refs.shape[1:]
+        err = np.abs(mix[0] - refs.sum(0)).max()
+        assert err < 6.0 / 32767.0
+        assert (np.abs(refs).max(axis=(1, 2)) > 0.01).all()
+
+    # generator-parameter disjointness: shift=1 moves every U(lo,hi) window
+    # past the training window
+    _, shift_test = _MUSDB_QUALITY_SPLITS["test"]
+    lo_t, hi_t = _musdb_range(55.0, 110.0, 0.0)
+    lo_s, _ = _musdb_range(55.0, 110.0, shift_test)
+    assert lo_s > hi_t
+
+    # idempotent
+    write_musdb_quality_corpus(root, n_train=2, n_valid=1, n_test=2,
+                               track_sec=1.0, sample_rate=8000)

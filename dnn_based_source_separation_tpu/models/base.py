@@ -66,7 +66,11 @@ class SeparationModelMixin:
 
 
 def _to_numpy_tree(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    # jax.device_get issues async copies for every leaf before gathering,
+    # overlapping the per-transfer round-trip; per-leaf np.asarray is a
+    # serial sync fetch per array, which on remote-tunneled backends turns
+    # a ~4 s checkpoint fetch into minutes (measured ~300x on 400 leaves).
+    return jax.device_get(tree)
 
 
 def _sanitize_config(value):

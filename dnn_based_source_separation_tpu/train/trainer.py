@@ -282,7 +282,9 @@ class Trainer:
     def save_checkpoint(self, epoch: int, path: str):
         extra = {
             "optim": flax.serialization.to_state_dict(
-                jax.tree_util.tree_map(np.asarray, self.opt_state)
+                # batched async fetch; per-leaf np.asarray serializes one
+                # sync transfer per array (minutes on remote backends)
+                jax.device_get(self.opt_state)
             ),
             "epoch": epoch,
             "best_loss": self.best_loss,

@@ -24,7 +24,7 @@ from ..models.base import load_model
 from ..ops.stft import istft, stft
 from ..ops.windows import build_window
 from ..train.tester import Evaluater
-from ..utils import set_seed
+from ..utils import enable_persistent_compilation_cache, set_seed
 
 
 def build_parser():
@@ -45,6 +45,7 @@ def build_parser():
 def main(args=None):
     args = build_parser().parse_args(args)
     set_seed(args.seed)
+    enable_persistent_compilation_cache()
 
     model, params, _ = load_model(args.model_path)
     n_fft, hop = model.n_fft, model.hop_length or model.n_fft // 4

@@ -13,7 +13,7 @@ from ..criterion import NegSISDR, PIT1d
 from ..data import WaveTestDataset
 from ..models.base import load_model
 from ..train.tester import Tester
-from ..utils import set_seed
+from ..utils import enable_persistent_compilation_cache, set_seed
 
 
 def build_parser():
@@ -41,6 +41,7 @@ def build_parser():
 def main(args=None):
     args = build_parser().parse_args(args)
     set_seed(args.seed)
+    enable_persistent_compilation_cache()
 
     model, params, _ = load_model(args.model_path)
     dataset = WaveTestDataset(args.test_wav_root, args.test_list_path, n_sources=args.n_sources)

@@ -25,7 +25,7 @@ from ..models.xumx import CrossNetOpenUnmix
 from ..ops.windows import build_window
 from ..parallel import make_mesh
 from ..train import Trainer, TrainerConfig, make_optimizer
-from ..utils import set_seed
+from ..utils import enable_persistent_compilation_cache, set_seed
 
 
 def build_parser():
@@ -98,6 +98,7 @@ def build_parser():
 def main(args=None):
     args = build_parser().parse_args(args)
     set_seed(args.seed)
+    enable_persistent_compilation_cache()
     sources = args.sources.split(",")
     if args.model == "hrnet":
         # Per-target recipe: the loader ships only the target stem.

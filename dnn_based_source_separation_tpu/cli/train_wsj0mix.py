@@ -19,7 +19,7 @@ from ..criterion import NegSISDR, PIT1d
 from ..data import DataLoader, WaveEvalDataset, WaveTrainDataset
 from ..parallel import make_mesh
 from ..train import Trainer, TrainerConfig, make_optimizer
-from ..utils import set_seed
+from ..utils import enable_persistent_compilation_cache, set_seed
 from .model_factory import build_wsj0mix_model
 
 
@@ -105,6 +105,7 @@ def main(args=None):
     args = build_parser().parse_args(args)
     args.causal = bool(args.causal)
     set_seed(args.seed)
+    enable_persistent_compilation_cache()
 
     samples = int(args.duration * args.sample_rate)
     valid_samples = int(args.valid_duration * args.sample_rate)

@@ -22,7 +22,7 @@ from ..models import ADANet, DANet, DeepEmbedding
 from ..parallel import make_mesh
 from ..train import TrainerConfig, make_optimizer
 from ..train.attractor import AnchoredAttractorTrainer, AttractorTrainer, EmbeddingTrainer
-from ..utils import set_seed
+from ..utils import enable_persistent_compilation_cache, set_seed
 
 
 def build_parser():
@@ -96,6 +96,7 @@ def build_spec_model(args, n_bins: int):
 def main(args=None):
     args = build_parser().parse_args(args)
     set_seed(args.seed)
+    enable_persistent_compilation_cache()
 
     samples = int(args.duration * args.sample_rate)
     ds_kwargs = dict(

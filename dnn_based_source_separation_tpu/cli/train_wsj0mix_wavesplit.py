@@ -21,7 +21,7 @@ from ..models.wavesplit import WaveSplit
 from ..parallel import make_mesh
 from ..train import TrainerConfig, make_optimizer
 from ..train.wavesplit import WaveSplitTrainer
-from ..utils import set_seed
+from ..utils import enable_persistent_compilation_cache, set_seed
 
 
 def build_parser():
@@ -72,6 +72,7 @@ def build_parser():
 def main(args=None):
     args = build_parser().parse_args(args)
     set_seed(args.seed)
+    enable_persistent_compilation_cache()
 
     samples = int(args.duration * args.sample_rate)
     valid_samples = int(args.valid_duration * args.sample_rate)

@@ -30,6 +30,7 @@ import sys
 
 ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, ROOT)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 CORPUS = "/tmp/dnntpu_quality_corpus"
 EXP = "/tmp/dnntpu_quality_exp"

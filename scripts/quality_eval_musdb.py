@@ -31,6 +31,8 @@ import sys
 
 ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, ROOT)
+# children (recipe CLIs) inherit this and share the persistent compile cache
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 CORPUS = "/tmp/dnntpu_musdb_quality"
 EXP = "/tmp/dnntpu_musdb_quality_exp"

@@ -18,6 +18,12 @@ Usage:
     python scripts/quality_eval.py --train              # recipe training
     python scripts/quality_eval.py --evaluate           # tt eval + oracles
     python scripts/quality_eval.py                      # all three
+
+Any wsj0-mix recipe with the standard shell interface runs through the same
+loop, e.g. the DPRNN-TasNet arm:
+    python scripts/quality_eval.py --recipe dprnn-tasnet \
+        --exp_dir /tmp/dnntpu_quality_exp_dprnn --train --evaluate
+(the corpus is shared; --prepare only needs to run once).
 """
 from __future__ import annotations
 
@@ -59,7 +65,7 @@ def train(args):
         list_valid=os.path.join(args.corpus, "cv.lst"),
         exp_dir=args.exp_dir,
     )
-    sh = os.path.join(ROOT, "egs", "wsj0-mix", "conv-tasnet", "train.sh")
+    sh = os.path.join(ROOT, "egs", "wsj0-mix", args.recipe, "train.sh")
     cmd = ["bash", sh,
            "--batch_size", str(args.batch_size),
            "--epochs", str(args.epochs),
@@ -110,7 +116,7 @@ def evaluate(args):
         exp_dir=args.exp_dir,
         model_choice="best",
     )
-    sh = os.path.join(ROOT, "egs", "wsj0-mix", "conv-tasnet", "test.sh")
+    sh = os.path.join(ROOT, "egs", "wsj0-mix", args.recipe, "test.sh")
     pesq_bin = os.path.join(ROOT, "native", "pesq", "pesq")
     cmd = ["bash", sh]
     if os.path.exists(pesq_bin):
@@ -153,6 +159,9 @@ def main():
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--evaluate", action="store_true")
     ap.add_argument("--corpus", type=str, default=CORPUS)
+    ap.add_argument("--recipe", type=str, default="conv-tasnet",
+                    help="recipe dir under egs/wsj0-mix with the standard "
+                         "train.sh/test.sh env-var interface")
     ap.add_argument("--exp_dir", type=str, default=EXP)
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--epochs", type=int, default=100)

@@ -58,18 +58,30 @@ def main(args=None):
 
     chunk = int(args.duration * args.sample_rate)
     forward = jax.jit(model.apply)
-    # Jit the complex-spectral stages too: the experimental TPU backend only
-    # implements complex ops inside compiled programs (eager complex
-    # elementwise dispatch is UNIMPLEMENTED). Chunked stft/istft compile
-    # once (fixed shapes); the full-track Wiener recompiles per track
-    # length, which a handful of test tracks amortizes.
-    import functools
+    # Complex values must stay INSIDE compiled programs on the experimental
+    # TPU backend: eager complex dispatch AND complex device<->host transfer
+    # are UNIMPLEMENTED. Every jitted stage below therefore takes/returns
+    # real-imag stacked float arrays at the host boundary and reconstructs
+    # complex internally. Chunked stft/istft compile once (fixed shapes);
+    # the full-track Wiener recompiles per track length, which a handful of
+    # test tracks amortizes.
+    @jax.jit
+    def stft_ri(x):
+        spec = stft(x, n_fft=n_fft, hop_length=hop, window=window)
+        return jnp.stack([spec.real, spec.imag])
 
-    stft_jit = jax.jit(functools.partial(stft, n_fft=n_fft, hop_length=hop, window=window))
-    istft_jit = jax.jit(functools.partial(istft, n_fft=n_fft, hop_length=hop,
-                                          window=window, length=chunk))
-    wiener_jit = jax.jit(functools.partial(
-        multichannel_wiener_filter, iteration=args.iter_wiener))
+    @jax.jit
+    def istft_from_ri(spec_ri):
+        spec = spec_ri[0] + 1j * spec_ri[1]
+        return istft(spec, n_fft=n_fft, hop_length=hop, window=window,
+                     length=chunk)
+
+    @jax.jit
+    def wiener_ri(mix_ri, est_amp):
+        mix_spec = mix_ri[0] + 1j * mix_ri[1]
+        est = multichannel_wiener_filter(mix_spec, est_amp,
+                                         iteration=args.iter_wiener)
+        return jnp.stack([est.real, est.imag])
 
     for name, mixture, refs in dataset:
         # mixture (1, C, T); refs (n_src, C, T)
@@ -87,24 +99,24 @@ def main(args=None):
             amps.append(np.asarray(forward(params, seg)[0]))  # (n_src, C, F, S)
         est_amp = np.concatenate(amps, axis=-1)
 
-        mix_spec = np.concatenate(
+        mix_ri = np.concatenate(
             [
-                np.asarray(stft_jit(jnp.asarray(mix_p[0, :, i * chunk : (i + 1) * chunk])))
+                np.asarray(stft_ri(jnp.asarray(mix_p[0, :, i * chunk : (i + 1) * chunk])))
                 for i in range(n_chunks)
             ],
             axis=-1,
-        )  # (C, F, S_total)
+        )  # (2, C, F, S_total)
 
-        est_spec = wiener_jit(
-            jnp.asarray(mix_spec), jnp.asarray(est_amp),
-        )  # (n_src, C, F, S_total)
+        est_ri = np.asarray(wiener_ri(
+            jnp.asarray(mix_ri), jnp.asarray(est_amp),
+        ))  # (2, n_src, C, F, S_total)
 
         # iSTFT per chunk span, then trim the zero pad.
         S_chunk = amps[0].shape[-1]
         waves = []
         for i in range(n_chunks):
-            seg_spec = est_spec[..., i * S_chunk : (i + 1) * S_chunk]
-            waves.append(np.asarray(istft_jit(seg_spec)))
+            seg_ri = est_ri[..., i * S_chunk : (i + 1) * S_chunk]
+            waves.append(np.asarray(istft_from_ri(jnp.asarray(seg_ri))))
         est_wave = np.concatenate(waves, axis=-1)[..., :T]  # (n_src, C, T)
 
         evaluater.add_track(refs.transpose(0, 2, 1), est_wave.transpose(0, 2, 1))

@@ -113,7 +113,15 @@ def _em_iterations(mixture, estimates, iteration: int, eps: float):
     for _ in range(iteration):
         v, R = _get_stats(estimates, eps=eps)  # (n,F,T), (n,F,C,C)
         Cxx = jnp.einsum("nft,nfij->ftij", v, R, precision="high")  # (F, T, C, C)
-        inv_Cxx = _inv_small(Cxx + jnp.sqrt(eps) * eye)
+        # Regularize RELATIVE to the trace: the closed-form 2x2 determinant
+        # a*d - b*c cancels catastrophically in f32 for near-singular frames
+        # of large magnitude (error ~1e-7*|ad| swamps any absolute ridge,
+        # yielding inf/NaN on loud correlated-stereo frames). A 1e-5*tr ridge
+        # keeps the smallest eigenvalue >= 1e-5*||Cxx||, so the computed
+        # determinant is accurate to ~1% there, at a <=1e-5 relative bias in
+        # the Wiener gain.
+        trace = jnp.einsum("ftii->ft", Cxx).real[..., None, None]
+        inv_Cxx = _inv_small(Cxx + (jnp.sqrt(eps) + 1e-5 * trace) * eye)
         # gain_n = v_n * R_n @ inv_Cxx : (n, F, T, C, C)
         gain = jnp.einsum("nfik,ftkj->nftij", R, inv_Cxx,
                           precision="high") * v[..., None, None]

@@ -83,12 +83,7 @@ def main(args=None):
                                          iteration=args.iter_wiener)
         return jnp.stack([est.real, est.imag])
 
-    for name, mixture, refs in dataset:
-        # mixture (1, C, T); refs (n_src, C, T)
-        T = mixture.shape[-1]
-        if args.max_duration is not None:
-            T = min(T, int(args.max_duration * args.sample_rate))
-            mixture, refs = mixture[..., :T], refs[..., :T]
+    def separate_track(mixture, T):
         n_chunks = -(-T // chunk)
         pad = n_chunks * chunk - T
         mix_p = np.pad(mixture, ((0, 0), (0, 0), (0, pad)))
@@ -117,7 +112,30 @@ def main(args=None):
         for i in range(n_chunks):
             seg_ri = est_ri[..., i * S_chunk : (i + 1) * S_chunk]
             waves.append(np.asarray(istft_from_ri(jnp.asarray(seg_ri))))
-        est_wave = np.concatenate(waves, axis=-1)[..., :T]  # (n_src, C, T)
+        return np.concatenate(waves, axis=-1)[..., :T]  # (n_src, C, T)
+
+    for name, mixture, refs in dataset:
+        # mixture (1, C, T); refs (n_src, C, T)
+        T = mixture.shape[-1]
+        if args.max_duration is not None:
+            T = min(T, int(args.max_duration * args.sample_rate))
+            mixture, refs = mixture[..., :T], refs[..., :T]
+
+        est_wave = separate_track(mixture, T)
+        if not np.isfinite(est_wave).all():
+            # Device->host transfers through the TPU tunnel have produced
+            # transient garbage before (ROADMAP measurement notes); the same
+            # track recomputes cleanly. Retry once, then sanitize so one bad
+            # fetch cannot abort a multi-track evaluation.
+            print(f"{name}: non-finite estimates "
+                  f"({int((~np.isfinite(est_wave)).sum())} samples); retrying",
+                  flush=True)
+            est_wave = separate_track(mixture, T)
+            if not np.isfinite(est_wave).all():
+                print(f"{name}: non-finite after retry; zero-filling",
+                      flush=True)
+                est_wave = np.nan_to_num(est_wave, nan=0.0, posinf=0.0,
+                                         neginf=0.0)
 
         evaluater.add_track(refs.transpose(0, 2, 1), est_wave.transpose(0, 2, 1))
         if args.out_dir:

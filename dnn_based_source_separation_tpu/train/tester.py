@@ -65,7 +65,10 @@ class Tester:
         results = {"loss": [], "loss_improvement": [], "sdr_improvement": [],
                    "sir_improvement": [], "sar": [], "pesq": []}
         if verbose:
-            print("ID, Loss, Loss improvement, SDR improvement, SIR improvement, SAR, PESQ", flush=True)
+            # PESQ* = in-tree calibrated P.862-style tool, not the certified
+            # ITU binary (native/pesq/CALIBRATION.md); starred so readers
+            # don't compare the column against published certified scores.
+            print("ID, Loss, Loss improvement, SDR improvement, SIR improvement, SAR, PESQ*", flush=True)
 
         for utt_id, mixture, sources in self.dataset:
             T = mixture.shape[-1]
@@ -116,7 +119,7 @@ class Tester:
                 f"Loss: {summary['loss']:.3f}, Loss improvement: {summary['loss_improvement']:.3f}, "
                 f"SDR improvement: {summary['sdr_improvement']:.3f}, "
                 f"SIR improvement: {summary['sir_improvement']:.3f}, "
-                f"SAR: {summary['sar']:.3f}, PESQ: {summary['pesq']:.3f}",
+                f"SAR: {summary['sar']:.3f}, PESQ*: {summary['pesq']:.3f}",
                 flush=True,
             )
         return summary

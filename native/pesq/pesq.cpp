@@ -251,9 +251,15 @@ int main(int argc, char** argv) {
   if (getenv("PESQ_DEBUG")) fprintf(stderr, "d_mean=%.4f da_mean=%.4f\n", d_mean, da_acc / static_cast<double>(n_frames));
   double da_mean = da_acc / static_cast<double>(n_frames);
 
-  // 4) Logistic MOS mapping (P.862.1-style): calibrated so identical
-  // signals score ~4.5 and heavy distortion ~1.0.
-  double raw = 4.5 - 0.05 * d_mean - 0.01 * da_mean;
+  // 4) Logistic MOS mapping (P.862.1-style). The disturbance->raw map is
+  // fitted on separation-like degradations (interfering-speaker residue at
+  // controlled SI-SDR, scripts/pesq_calibrate.py) against published
+  // certified-PESQ bands for speech separation: SI-SDR 0/5/10/15/20/30 dB
+  // -> MOS ~2.0/2.4/2.8/3.2/3.6/4.15. The power law captures the convex
+  // d<->MOS relation; identical signals (d=0) still hit the 4.549 ceiling.
+  // Dead zone 0.5 keeps tiny re-quantization disturbances (identical
+  // signals under gain/level alignment) at the ceiling.
+  double raw = 4.5 - 0.368184 * sqrt(std::max(d_mean - 0.5, 0.0)) - 0.01 * da_mean;
   if (raw < -0.5) raw = -0.5;
   if (raw > 4.5) raw = 4.5;
   double mos_lqo = 0.999 + 4.0 / (1.0 + exp(-1.4945 * raw + 4.6607));

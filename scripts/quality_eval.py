@@ -85,7 +85,7 @@ def _parse_tester_summary(text: str):
     m = re.search(
         r"Loss: ([-\d.]+), Loss improvement: ([-\d.]+), "
         r"SDR improvement: ([-\d.]+), SIR improvement: ([-\d.]+), "
-        r"SAR: ([-\d.]+), PESQ: ([-\d.nan]+)", text)
+        r"SAR: ([-\d.]+), PESQ\*?: ([-\d.nan]+)", text)
     assert m, f"no tester summary in output:\n{text[-2000:]}"
     keys = ["loss", "si_sdri", "sdri", "siri", "sar", "pesq"]
     return {k: float(m.group(i + 1)) for i, k in enumerate(keys)}

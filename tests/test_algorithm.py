@@ -73,6 +73,27 @@ def test_wiener_em_improves_oracle_like_estimates():
     assert err_out < err_naive
 
 
+def test_wiener_em_finite_on_loud_correlated_stereo():
+    """Regression (round 5): loud near-rank-1 stereo frames made the 2x2
+    closed-form determinant cancel catastrophically in f32 (error
+    ~1e-7*|ad| >> the absolute 1e-6 ridge), producing inf/NaN estimates on
+    real musdb18-protocol tracks (quality run, test_song005). The ridge is
+    now relative to tr(Cxx)."""
+    rng = np.random.default_rng(0)
+    F, T = 16, 64
+    base = (rng.standard_normal((F, T))
+            + 1j * rng.standard_normal((F, T))).astype(np.complex64) * 100.0
+    mix = np.stack([base, base * (1.0 + 1e-7)])  # channels nearly identical
+    amps = np.stack([np.abs(mix) * 0.9, np.abs(mix) * 0.1])
+
+    out = np.asarray(multichannel_wiener_filter(
+        jnp.asarray(mix), jnp.asarray(amps, jnp.float32), iteration=2))
+    assert np.isfinite(out).all()
+    # Estimates stay on the scale of the mixture (the old path overflowed
+    # to ~1e13 before going non-finite).
+    assert np.abs(out).max() < 4 * np.abs(mix).max()
+
+
 def test_griffin_lim_reconstruction():
     rng = np.random.default_rng(2)
     n_fft, hop = 64, 16

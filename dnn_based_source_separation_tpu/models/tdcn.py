@@ -69,6 +69,7 @@ class DepthwiseSeparableConv1d(nn.Module):
     nonlinear: Optional[str] = None
     norm: bool = True
     dual_head: bool = True
+    fold_affine: bool = False
     eps: float = EPS
 
     @nn.compact
@@ -97,7 +98,9 @@ class DepthwiseSeparableConv1d(nn.Module):
             raise ValueError(f"Unsupported nonlinearity: {self.nonlinear}")
         if self.norm:
             norm_name = "cLN" if self.causal else "gLN"
-            x = choose_layer_norm(norm_name, C, causal=self.causal, eps=self.eps)(x)
+            affine = not (self.fold_affine and not self.causal)
+            x = choose_layer_norm(norm_name, C, causal=self.causal,
+                                  eps=self.eps, affine=affine)(x)
         output = None
         if self.dual_head:
             output = nn.Dense(self.out_channels, name="output_pointwise_conv1d")(x)
@@ -122,6 +125,7 @@ class ResidualBlock1d(nn.Module):
     nonlinear: Optional[str] = None
     norm: bool = True
     dual_head: bool = True
+    fold_affine: bool = False
     eps: float = EPS
 
     @nn.compact
@@ -133,16 +137,28 @@ class ResidualBlock1d(nn.Module):
             h = PReLU(name="nonlinear1d")(h)
         elif self.nonlinear is not None:
             raise ValueError(f"Unsupported nonlinearity: {self.nonlinear}")
-        if self.norm:
-            norm_name = "cLN" if self.causal else "gLN"
-            h = choose_layer_norm(norm_name, self.hidden_channels, causal=self.causal, eps=self.eps)(h)
 
         padding = (T - 1) * self.stride - T + (self.kernel_size - 1) * self.dilation + 1
         if self.causal:
             pl, pr = padding, 0
         else:
             pl, pr = padding // 2, padding - padding // 2
-        if (self.causal and padding > 0 and self.is_mutable_collection("stream")
+        fold = self.fold_affine and self.norm and not self.causal
+        if self.norm:
+            norm_name = "cLN" if self.causal else "gLN"
+            norm_mod = choose_layer_norm(norm_name, self.hidden_channels,
+                                         causal=self.causal, eps=self.eps,
+                                         affine=not fold)
+            if fold:
+                # Folded inference: gamma/beta live in the downstream conv
+                # weights; the norm pads with -beta/gamma so the folded conv
+                # over padded frames equals the zero-padded-affine original.
+                h = norm_mod(h, pad=(pl, pr))
+            else:
+                h = norm_mod(h)
+        if fold:
+            pass  # already padded inside the norm
+        elif (self.causal and padding > 0 and self.is_mutable_collection("stream")
                 and not self.is_initializing()):
             # Exact streaming: the left context is the tail of the previous
             # chunk's (post-norm) activations instead of zeros; the zero
@@ -171,6 +187,7 @@ class ResidualBlock1d(nn.Module):
                 nonlinear=self.nonlinear,
                 norm=self.norm,
                 dual_head=self.dual_head,
+                fold_affine=self.fold_affine,
                 eps=self.eps,
                 name="separable_conv1d",
             )(h)
@@ -205,6 +222,7 @@ class TimeDilatedConvBlock1d(nn.Module):
     nonlinear: Optional[str] = None
     norm: bool = True
     dual_head: bool = True
+    fold_affine: bool = False
     remat: str = "none"  # "none" | "block" (save nothing) | "dots" (save matmuls)
     eps: float = EPS
 
@@ -240,6 +258,7 @@ class TimeDilatedConvBlock1d(nn.Module):
                 nonlinear=self.nonlinear,
                 norm=self.norm,
                 dual_head=not last,
+                fold_affine=self.fold_affine,
                 eps=self.eps,
                 name=f"layer{idx}",
             )(x)
@@ -263,6 +282,7 @@ class TimeDilatedConvNet(nn.Module):
     causal: bool = True
     nonlinear: Optional[str] = None
     norm: bool = True
+    fold_affine: bool = False
     remat: str = "none"
     eps: float = EPS
 
@@ -283,6 +303,7 @@ class TimeDilatedConvNet(nn.Module):
                 nonlinear=self.nonlinear,
                 norm=self.norm,
                 dual_head=dual_head,
+                fold_affine=self.fold_affine,
                 remat=self.remat,
                 eps=self.eps,
                 name=f"block{idx}",

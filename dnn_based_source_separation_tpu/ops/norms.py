@@ -68,16 +68,48 @@ def cumulative_layer_norm(x, gamma, beta, eps: float = 1e-8):
 
 
 class GlobalLayerNorm(nn.Module):
-    """gLN over (T, N) for channels-last inputs (..., T, N)."""
+    """gLN over (T, N) for channels-last inputs (..., T, N).
+
+    `affine=False` is the inference-time "folded" mode (models/fold.py):
+    gamma/beta are still declared (checkpoint-compatible pytree) but the
+    per-element affine pass is skipped — the fold transform has already
+    multiplied gamma into the adjacent conv/matmul weights and absorbed
+    beta into its bias. When a `pad` is requested in folded mode, the
+    frame padding is filled with -beta/gamma instead of zeros so that the
+    folded convolution over the padded frames reproduces the unfolded
+    zero-padded-after-affine result exactly (gamma*p + beta = 0).
+    """
 
     features: int
     eps: float = 1e-8
+    affine: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, pad: tuple = (0, 0)):
         gamma = self.param("gamma", nn.initializers.ones, (self.features,))
         beta = self.param("beta", nn.initializers.zeros, (self.features,))
-        return global_layer_norm(x, gamma, beta, self.eps)
+        pl, pr = pad
+        if self.affine:
+            y = global_layer_norm(x, gamma, beta, self.eps)
+            if pl or pr:
+                y = jnp.pad(y, ((0, 0),) * (y.ndim - 2) + ((pl, pr), (0, 0)))
+            return y
+        mean = jnp.mean(x, axis=(-2, -1), keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=(-2, -1), keepdims=True)
+        y = (x - mean) / jnp.sqrt(var + self.eps)
+        if pl or pr:
+            # gamma == 0 would make the folded kernel column zero anyway,
+            # so the fill value is irrelevant there; avoid the division.
+            fill = jnp.where(gamma == 0, 0.0, -beta / jnp.where(gamma == 0, 1.0, gamma))
+            fill = fill.astype(y.dtype)
+            parts = []
+            if pl:
+                parts.append(jnp.broadcast_to(fill, y.shape[:-2] + (pl, self.features)))
+            parts.append(y)
+            if pr:
+                parts.append(jnp.broadcast_to(fill, y.shape[:-2] + (pr, self.features)))
+            y = jnp.concatenate(parts, axis=-2)
+        return y
 
 
 class CumulativeLayerNorm(nn.Module):
@@ -143,12 +175,21 @@ class ChannelLayerNorm(nn.Module):
         return gamma * (x - mean) / jnp.sqrt(var + self.eps) + beta
 
 
-def choose_layer_norm(kind: str, features: int, causal: bool = False, eps: float = 1e-8):
-    """Factory mirroring reference `src/utils/tasnet.py:14` (choose_layer_norm)."""
+def choose_layer_norm(kind: str, features: int, causal: bool = False, eps: float = 1e-8,
+                      affine: bool = True):
+    """Factory mirroring reference `src/utils/tasnet.py:14` (choose_layer_norm).
+
+    `affine=False` (folded-inference mode, models/fold.py) is only defined
+    for gLN — the causal/cumulative norms keep their affine.
+    """
     if kind in ("cLN",) or causal:
+        if not affine:
+            raise ValueError("affine folding is only supported for gLN")
         return CumulativeLayerNorm(features, eps=eps)
     if kind in ("gLN", "global"):
-        return GlobalLayerNorm(features, eps=eps)
+        return GlobalLayerNorm(features, eps=eps, affine=affine)
     if kind in ("LN", "layer", "channel"):
+        if not affine:
+            raise ValueError("affine folding is only supported for gLN")
         return ChannelLayerNorm(features, eps=eps)
     raise ValueError(f"Unsupported layer norm: {kind}")

@@ -150,10 +150,18 @@ def synth_pseudo_speech(
 _QUALITY_DURATIONS = (4.0, 4.8, 5.6, 6.4)
 
 # Disjoint speaker-id ranges per split (wsj0-2mix protocol: tt unseen).
+# The first element is either (first_speaker) with n_speakers following, or
+# a tuple of (first, count) ranges for non-contiguous speaker sets.
 _QUALITY_SPLITS = {
     "tr": (0, 30, 1000),   # (first speaker, n_speakers, rng seed base)
     "cv": (30, 8, 2000),
     "tt": (38, 12, 3000),
+    # Scaled training split (~10 h at ~6900 utts): the original 30 train
+    # speakers plus 70 new ones (ids 50-119 of the 120-speaker bank), still
+    # fully disjoint from cv (30-37) and tt (38-49). The bank draw is
+    # sequential per speaker, so ids 0-49 are identical across bank sizes
+    # and the held-out tt split stays byte-identical to the 2 h corpus.
+    "tr_xl": (((0, 30), (50, 70)), 100, 1500),
 }
 
 
@@ -176,8 +184,11 @@ def write_quality_corpus(
     from .audio_io import write_wav
 
     first, n_spk, seed = _QUALITY_SPLITS[split]
-    assert first + n_spk <= total_speakers
-    speakers = _speaker_bank(total_speakers, seed=7)[first:first + n_spk]
+    ranges = first if isinstance(first, tuple) else ((first, n_spk),)
+    total_speakers = max(total_speakers, max(f + n for f, n in ranges))
+    bank = _speaker_bank(total_speakers, seed=7)
+    speakers = [s for f, n in ranges for s in bank[f:f + n]]
+    assert len(speakers) == n_spk
 
     wav_root = os.path.join(root, split)
     list_path = os.path.join(root, split + ".lst")

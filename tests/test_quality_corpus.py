@@ -14,12 +14,30 @@ from dnn_based_source_separation_tpu.data.synthetic import (
 )
 
 
+def _split_ids(split):
+    first, n, _ = _QUALITY_SPLITS[split]
+    ranges = first if isinstance(first, tuple) else ((first, n),)
+    ids = {i for f, cnt in ranges for i in range(f, f + cnt)}
+    assert len(ids) == n
+    return ids
+
+
 def test_split_speaker_sets_disjoint():
-    ranges = {}
-    for split, (first, n, _) in _QUALITY_SPLITS.items():
-        ranges[split] = set(range(first, first + n))
-    assert ranges["tr"] & ranges["tt"] == set()
-    assert ranges["cv"] & ranges["tt"] == set()
+    for train_split in ("tr", "tr_xl"):
+        assert _split_ids(train_split) & _split_ids("tt") == set()
+        assert _split_ids(train_split) & _split_ids("cv") == set()
+    assert _split_ids("cv") & _split_ids("tt") == set()
+
+
+def test_speaker_bank_prefix_stable_across_sizes():
+    """tr_xl draws from a 120-speaker bank; the held-out tt speakers
+    (ids 38-49) must be identical to the 50-speaker bank's, or the scaled
+    corpus would silently change the test set."""
+    small = _speaker_bank(50, seed=7)
+    big = _speaker_bank(120, seed=7)
+    for a, b in zip(small, big):
+        assert a["f0"] == b["f0"]
+        np.testing.assert_array_equal(a["formants"], b["formants"])
 
 
 def test_speaker_bank_deterministic_and_distinct():

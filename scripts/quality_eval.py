@@ -50,7 +50,11 @@ def prepare(args):
     from dnn_based_source_separation_tpu.data.synthetic import write_quality_corpus
 
     os.makedirs(args.corpus, exist_ok=True)
-    for split, n in SPLIT_UTTS.items():
+    splits = dict(SPLIT_UTTS)
+    if args.train_split == "tr_xl":  # scaled corpus (round-5 item 7)
+        splits["tr_xl"] = 6900  # ~10 h at the 4.0-6.4 s duration mix
+        del splits["tr"]
+    for split, n in splits.items():
         wav_root, list_path = write_quality_corpus(args.corpus, split, n_utts=n)
         n_lines = len(open(list_path).read().split())
         print(f"{split}: {n_lines} utts under {wav_root}", flush=True)
@@ -59,9 +63,9 @@ def prepare(args):
 def train(args):
     env = dict(os.environ)
     env.update(
-        wav_root_train=os.path.join(args.corpus, "tr"),
+        wav_root_train=os.path.join(args.corpus, args.train_split),
         wav_root_valid=os.path.join(args.corpus, "cv"),
-        list_train=os.path.join(args.corpus, "tr.lst"),
+        list_train=os.path.join(args.corpus, args.train_split + ".lst"),
         list_valid=os.path.join(args.corpus, "cv.lst"),
         exp_dir=args.exp_dir,
     )
@@ -162,6 +166,10 @@ def main():
     ap.add_argument("--recipe", type=str, default="conv-tasnet",
                     help="recipe dir under egs/wsj0-mix with the standard "
                          "train.sh/test.sh env-var interface")
+    ap.add_argument("--train_split", type=str, default="tr",
+                    choices=["tr", "tr_xl"],
+                    help="training split: tr (~2 h / 30 speakers) or tr_xl "
+                         "(~10 h / 100 speakers; cv/tt identical)")
     ap.add_argument("--exp_dir", type=str, default=EXP)
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--epochs", type=int, default=100)

@@ -80,6 +80,14 @@ def build_parser():
                    help="ProbPIT temperature (--pit prob)")
     p.add_argument("--optimizer", type=str, default="adam")
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--warmup_steps", type=int, default=0,
+                   help="enable the DPTNet recipe LR schedule (Noam-style "
+                        "ramp over this many steps, then 0.98^(epoch//2) "
+                        "decay; reference dptnet/train.sh: 4000)")
+    p.add_argument("--k1", type=float, default=2e-1,
+                   help="warmup ramp coefficient (reference k1)")
+    p.add_argument("--k2", type=float, default=4e-4,
+                   help="post-warmup decay coefficient (reference k2)")
     p.add_argument("--max_norm", type=float, default=5.0)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--epochs", type=int, default=100)
@@ -160,6 +168,14 @@ def main(args=None):
     train_loader = DataLoader(train_ds, batch_size=args.batch_size, shuffle=True, seed=args.seed,
                               num_workers=args.num_workers)
     valid_loader = DataLoader(valid_ds, batch_size=1)
+
+    if args.warmup_steps > 0:
+        from ..train.steps import make_warmup_optimizer
+
+        optimizer = make_warmup_optimizer(
+            args.k1, args.k2, d_model=args.sep_bottleneck_channels,
+            warmup_steps=args.warmup_steps,
+            steps_per_epoch=len(train_loader), max_norm=args.max_norm)
 
     model = build_wsj0mix_model(args)
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -50,13 +51,43 @@ def _find_hyperparams(opt_state):
 
 def get_learning_rate(opt_state) -> float:
     hp = _find_hyperparams(opt_state)
+    if hp is None:  # schedule-managed optimizer (no injected hyperparams)
+        return float("nan")
     return float(hp.hyperparams["learning_rate"])
 
 
 def set_learning_rate(opt_state, lr: float):
     hp = _find_hyperparams(opt_state)
+    if hp is None:  # schedule-managed: the per-step schedule owns the LR
+        return opt_state
     hp.hyperparams["learning_rate"] = lr
     return opt_state
+
+
+def make_warmup_optimizer(lr_peak_k1: float, lr_post_k2: float, d_model: int,
+                          warmup_steps: int, steps_per_epoch: int,
+                          max_norm: Optional[float] = None):
+    """Adam with the DPTNet recipe's LR schedule (reference
+    `egs/wsj0-mix/dptnet/src/adhoc_driver.py:98-111`): a Noam-style linear
+    ramp `k1 * d_model^-0.5 * (step+1) * warmup^-1.5` for the first
+    `warmup_steps` updates, then an epoch-indexed exponential decay
+    `k2 * 0.98^((epoch+1)//2)` (epoch = step // steps_per_epoch). The
+    trainer's cv-plateau LR-halving is a no-op for this optimizer (the
+    schedule overwrites the LR every step, as in the reference driver).
+    """
+
+    def schedule(step):
+        stepf = jnp.asarray(step, jnp.float32)
+        ramp = (lr_peak_k1 * d_model ** -0.5 * (stepf + 1.0)
+                * warmup_steps ** -1.5)
+        epoch = jnp.floor(stepf / steps_per_epoch)
+        decay = lr_post_k2 * 0.98 ** jnp.floor((epoch + 1.0) / 2.0)
+        return jnp.where(stepf > warmup_steps, decay, ramp)
+
+    opt = optax.adam(learning_rate=schedule)
+    if max_norm is not None:
+        opt = optax.chain(optax.clip_by_global_norm(max_norm), opt)
+    return opt
 
 
 def make_train_step(

@@ -147,9 +147,10 @@ class Trainer:
                     stop = True
                 elif self.no_improvement >= cfg.lr_halving_patience:
                     prev_lr = get_learning_rate(self.opt_state)
-                    lr = 0.5 * prev_lr
-                    print(f"Learning rate: {prev_lr} -> {lr}")
-                    self.opt_state = set_learning_rate(self.opt_state, lr)
+                    if prev_lr == prev_lr:  # nan => schedule-managed LR
+                        lr = 0.5 * prev_lr
+                        print(f"Learning rate: {prev_lr} -> {lr}")
+                        self.opt_state = set_learning_rate(self.opt_state, lr)
             else:
                 self.no_improvement = 0
 

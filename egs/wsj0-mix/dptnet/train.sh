@@ -16,5 +16,5 @@ python -m dnn_based_source_separation_tpu.cli.train_wsj0mix \
     --train_wav_root "$wav_root_train" --train_list_path "$list_train" \
     --valid_wav_root "$wav_root_valid" --valid_list_path "$list_valid" \
     --exp_dir "$exp_dir" \
-    -N 64 -L 2 -K 100 --sep_num_blocks 6 --sep_num_heads 4 --sep_bottleneck_channels 64 --sep_hidden_channels 256 --mask_nonlinear relu --batch_size 2 \
+    -N 64 -L 2 -K 100 --sep_num_blocks 6 --sep_num_heads 4 --sep_bottleneck_channels 64 --sep_hidden_channels 256 --mask_nonlinear relu --batch_size 2 --warmup_steps 4000 --k1 2e-1 --k2 4e-4 \
     "$@" | tee -a "$exp_dir/train.log"

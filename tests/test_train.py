@@ -457,3 +457,43 @@ def test_mixit_unsupervised_training_improves():
             loss0 = float(loss)
     assert float(loss) < loss0 - 10.0, (
         f"MixIT loss only moved {loss0:.2f} -> {float(loss):.2f}")
+
+
+def test_warmup_optimizer_schedule_matches_reference_formula():
+    """DPTNet LR schedule (reference egs/wsj0-mix/dptnet/src/
+    adhoc_driver.py:98-111): Noam ramp to k1*d^-.5*W^-.5, then epoch-wise
+    0.98 decay; the trainer's plateau-halving must no-op on it."""
+    from dnn_based_source_separation_tpu.train.steps import (
+        get_learning_rate,
+        make_warmup_optimizer,
+        set_learning_rate,
+    )
+
+    k1, k2, d, W, spe = 2e-1, 4e-4, 64, 4000, 872
+    opt = make_warmup_optimizer(k1, k2, d_model=d, warmup_steps=W,
+                                steps_per_epoch=spe, max_norm=5.0)
+    params = {"w": jnp.zeros((3,))}
+    state = opt.init(params)
+
+    # peek at the schedule through one update's scale
+    import optax
+
+    def lr_at(step):
+        ramp = k1 * d ** -0.5 * (step + 1.0) * W ** -1.5
+        epoch = step // spe
+        decay = k2 * 0.98 ** ((epoch + 1) // 2)
+        return decay if step > W else ramp
+
+    g = {"w": jnp.ones((3,))}
+    s = state
+    for step in [0, 1, 2]:
+        updates, s = opt.update(g, s, params)
+        expect = -lr_at(step)  # adam of constant grads -> unit direction
+        np.testing.assert_allclose(float(updates["w"][0]), expect,
+                                   rtol=1e-4)
+    # plateau-halving no-ops: nan get, identity set
+    assert get_learning_rate(state) != get_learning_rate(state)  # nan
+    assert set_learning_rate(state, 1.0) is state
+
+    # post-warmup value: decay branch, epoch-indexed
+    assert abs(lr_at(W + spe) - k2 * 0.98 ** ((W // spe + 1 + 1) // 2)) < 1e-12

@@ -52,7 +52,7 @@ def prepare(args):
 
 def train(args):
     env = dict(os.environ, musdb18_root=args.corpus, exp_dir=args.exp_dir)
-    sh = os.path.join(ROOT, "egs", "musdb18", "umx", "train.sh")
+    sh = os.path.join(ROOT, "egs", "musdb18", args.recipe, "train.sh")
     cmd = ["bash", sh,
            "--batch_size", str(args.batch_size),
            "--samples_per_epoch", str(args.samples_per_epoch),
@@ -128,7 +128,7 @@ def _bound_tables(corpus: str, n_fft: int = 4096, hop: int = 1024):
 def evaluate(args):
     env = dict(os.environ, musdb18_root=args.corpus, exp_dir=args.exp_dir,
                model_choice="best")
-    sh = os.path.join(ROOT, "egs", "musdb18", "umx", "test.sh")
+    sh = os.path.join(ROOT, "egs", "musdb18", args.recipe, "test.sh")
     print("test cmd:", "bash", sh, flush=True)
     out = subprocess.run(["bash", sh], env=env, cwd=os.path.dirname(sh),
                          capture_output=True, text=True)
@@ -158,6 +158,9 @@ def main():
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--evaluate", action="store_true")
     ap.add_argument("--corpus", type=str, default=CORPUS)
+    ap.add_argument("--recipe", type=str, default="umx",
+                    help="recipe dir under egs/musdb18 with the standard "
+                         "train.sh/test.sh env-var interface (umx, x-umx)")
     ap.add_argument("--exp_dir", type=str, default=EXP)
     ap.add_argument("--n_train", type=int, default=12)
     ap.add_argument("--n_valid", type=int, default=3)

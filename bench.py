@@ -45,6 +45,11 @@ def main():
     rng = np.random.default_rng(0)
     xs = jnp.asarray(rng.standard_normal((ITERS, BATCH, 1, T)), jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((BATCH, 1, T), jnp.float32))
+    # Inference-time gLN affine folding, 'heads' mode (models/fold.py):
+    # pure algebra (parity-tested, tests/test_fold.py), measured +5% RTF /
+    # +0.9pt MFU at this config (BENCHMARKS.md "gLN affine folding").
+    from dnn_based_source_separation_tpu.models.fold import fold_gln_affine
+    model, params = fold_gln_affine(model, params, mode="heads")
     params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
 
     # params must flow through the jit ARGUMENT (p), not the closure —

@@ -37,6 +37,17 @@ def build_parser():
 def main(args=None):
     args = build_parser().parse_args(args)
     model, params, _ = load_model(args.model_path)
+    # Inference-time gLN affine fold, pad-free 'heads' mode: pure algebra,
+    # parity-tested (tests/test_fold.py), measured +5% on the paper-config
+    # forward (BENCHMARKS.md "gLN affine folding"). Non-causal
+    # Conv-TasNet-family checkpoints only; anything else is left untouched.
+    if (type(model).__name__ == "ConvTasNet"
+            and not getattr(model, "causal", True)
+            and (getattr(model, "separable", False)
+                 or not getattr(model, "sep_norm", True))):
+        from ..models.fold import fold_gln_affine
+
+        model, params = fold_gln_affine(model, params, mode="heads")
     x, sr = read_wav(args.input)
     if x.ndim > 1:
         x = x.mean(axis=1)

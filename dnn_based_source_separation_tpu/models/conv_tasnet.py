@@ -25,7 +25,7 @@ from ..ops.norms import choose_layer_norm
 from .base import SeparationModelMixin, register_model
 from .modules import PReLU
 from .skeleton import LatentMaskingMixin
-from .tdcn import TimeDilatedConvNet
+from .tdcn import TimeDilatedConvNet, fold_mode
 
 EPS = 1e-12
 
@@ -47,7 +47,7 @@ class Separator(nn.Module):
     norm: bool = True
     mask_nonlinear: str = "sigmoid"
     n_sources: int = 2
-    fold_norm_affine: bool = False
+    fold_norm_affine: object = False  # bool | "none" | "heads" | "all"
     remat: str = "none"
     eps: float = EPS
 
@@ -55,7 +55,10 @@ class Separator(nn.Module):
     def __call__(self, x):
         B, T, N = x.shape
         norm_name = "cLN" if self.causal else "gLN"
-        fold = self.fold_norm_affine and not self.causal
+        mode = fold_mode(self.fold_norm_affine)
+        # The separator-level gLN feeds the bottleneck matmul pad-free, so
+        # it folds in both 'heads' and 'all' modes.
+        fold = mode != "none" and not self.causal
         x = choose_layer_norm(norm_name, N, causal=self.causal, eps=self.eps,
                               affine=not fold)(x)
         x = nn.Dense(self.bottleneck_channels, name="bottleneck_conv1d")(x)
@@ -71,7 +74,7 @@ class Separator(nn.Module):
             causal=self.causal,
             nonlinear=self.nonlinear,
             norm=self.norm,
-            fold_affine=fold,
+            fold_affine=mode if not self.causal else "none",
             remat=self.remat,
             eps=self.eps,
             name="tdcn",
@@ -114,7 +117,7 @@ class ConvTasNet(nn.Module, LatentMaskingMixin, SeparationModelMixin):
     mask_nonlinear: str = "sigmoid"
     causal: bool = True
     n_sources: int = 2
-    fold_norm_affine: bool = False  # inference-only: see models/fold.py
+    fold_norm_affine: object = False  # bool | mode str; inference-only: see models/fold.py
     sep_remat: str = "none"  # remat policy for the TDCN blocks (training)
     eps: float = EPS
     in_channels: int = 1

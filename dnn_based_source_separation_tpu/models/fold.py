@@ -57,11 +57,24 @@ def _fold_into_depthwise(gamma, beta, dw):
     dw["kernel"] = kernel * gamma[None, None, :]
 
 
-def fold_gln_affine(model, variables):
-    """Fold every gLN affine of a non-causal Conv-TasNet into the adjacent
+def fold_gln_affine(model, variables, mode: str = "heads"):
+    """Fold gLN affines of a non-causal Conv-TasNet into the adjacent
     linear weights. Returns (folded_model, folded_variables); `variables`
     must be UNFOLDED (folding twice double-applies the affine).
+
+    mode='heads' (default) folds only the pad-free affines — the
+    separator-level gLN into the bottleneck matmul and each separable-conv
+    gLN into its output/skip head matmuls. mode='all' additionally folds
+    each block gLN into its depthwise conv via the -beta/gamma padding
+    fill; measured SLOWER at full-model scale on v5e (the per-channel
+    concatenate fill breaks XLA's pad+FMA fusion — BENCHMARKS.md kernel
+    notes), kept for completeness.
     """
+    from .tdcn import fold_mode
+
+    mode = fold_mode(mode)
+    if mode == "none":
+        return model, variables
     if getattr(model, "causal", True):
         raise ValueError("gLN affine folding requires a non-causal model (cLN is causal)")
     if getattr(model, "sep_norm", True) and not getattr(model, "separable", True):
@@ -76,18 +89,20 @@ def fold_gln_affine(model, variables):
     g = sep["GlobalLayerNorm_0"]
     _fold_into_matmul(g["gamma"], g["beta"], sep["bottleneck_conv1d"])
     if not getattr(model, "sep_norm", True):
-        return model.clone(fold_norm_affine=True), variables
+        return model.clone(fold_norm_affine=mode), variables
 
     for block in (v for k, v in sep["tdcn"].items() if k.startswith("block")):
         for layer in (v for k, v in block.items() if k.startswith("layer")):
-            g1 = layer["GlobalLayerNorm_0"]
             conv = layer["separable_conv1d"]
-            # gamma/beta stay live here: GlobalLayerNorm(affine=False)
-            # reads them to build the -beta/gamma padding fill.
-            _fold_into_depthwise(g1["gamma"], g1["beta"], conv["depthwise_conv1d"])
+            if mode == "all":
+                g1 = layer["GlobalLayerNorm_0"]
+                # gamma/beta stay live here: GlobalLayerNorm(affine=False)
+                # reads them to build the -beta/gamma padding fill.
+                _fold_into_depthwise(g1["gamma"], g1["beta"],
+                                     conv["depthwise_conv1d"])
             g2 = conv["GlobalLayerNorm_0"]
             for head in ("output_pointwise_conv1d", "skip_pointwise_conv1d"):
                 if head in conv:
                     _fold_into_matmul(g2["gamma"], g2["beta"], conv[head])
 
-    return model.clone(fold_norm_affine=True), variables
+    return model.clone(fold_norm_affine=mode), variables

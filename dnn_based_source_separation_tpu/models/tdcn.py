@@ -25,6 +25,26 @@ from .modules import PReLU
 EPS = 1e-12
 
 
+def fold_mode(v) -> str:
+    """Normalize a fold_affine flag: False->'none', True->'all', str kept.
+
+    'heads' folds only the PAD-FREE affines (the separator-level gLN into
+    the bottleneck matmul and each separable-conv gLN into its output/skip
+    head matmuls); 'all' additionally folds each block gLN into its
+    depthwise conv, which requires the -beta/gamma padding fill
+    (models/fold.py) — measured SLOWER at full-model scale because the
+    per-channel concatenate fill breaks XLA's pad+FMA fusion
+    (BENCHMARKS.md kernel notes), so 'heads' is the recommended mode.
+    """
+    if v is True:
+        return "all"
+    if v is False or v is None:
+        return "none"
+    if v in ("none", "heads", "all"):
+        return v
+    raise ValueError(f"Unsupported fold_affine mode: {v!r}")
+
+
 class DepthwiseConv1dShift(nn.Module):
     """Stride-1 dilated depthwise conv as K shifted fused-multiply-adds.
 
@@ -69,7 +89,7 @@ class DepthwiseSeparableConv1d(nn.Module):
     nonlinear: Optional[str] = None
     norm: bool = True
     dual_head: bool = True
-    fold_affine: bool = False
+    fold_affine: object = False  # bool | "none" | "heads" | "all" (see fold_mode)
     eps: float = EPS
 
     @nn.compact
@@ -98,7 +118,8 @@ class DepthwiseSeparableConv1d(nn.Module):
             raise ValueError(f"Unsupported nonlinearity: {self.nonlinear}")
         if self.norm:
             norm_name = "cLN" if self.causal else "gLN"
-            affine = not (self.fold_affine and not self.causal)
+            # g2 (pre-heads) folds in both 'heads' and 'all' modes: pad-free.
+            affine = not (fold_mode(self.fold_affine) != "none" and not self.causal)
             x = choose_layer_norm(norm_name, C, causal=self.causal,
                                   eps=self.eps, affine=affine)(x)
         output = None
@@ -125,7 +146,7 @@ class ResidualBlock1d(nn.Module):
     nonlinear: Optional[str] = None
     norm: bool = True
     dual_head: bool = True
-    fold_affine: bool = False
+    fold_affine: object = False  # bool | "none" | "heads" | "all" (see fold_mode)
     eps: float = EPS
 
     @nn.compact
@@ -143,7 +164,10 @@ class ResidualBlock1d(nn.Module):
             pl, pr = padding, 0
         else:
             pl, pr = padding // 2, padding - padding // 2
-        fold = self.fold_affine and self.norm and not self.causal
+        # g1 (pre-depthwise) folds only in 'all' mode: it needs the
+        # -beta/gamma padding fill, measured slower at model scale.
+        fold = (fold_mode(self.fold_affine) == "all"
+                and self.norm and not self.causal)
         if self.norm:
             norm_name = "cLN" if self.causal else "gLN"
             norm_mod = choose_layer_norm(norm_name, self.hidden_channels,
@@ -222,7 +246,7 @@ class TimeDilatedConvBlock1d(nn.Module):
     nonlinear: Optional[str] = None
     norm: bool = True
     dual_head: bool = True
-    fold_affine: bool = False
+    fold_affine: object = False  # bool | "none" | "heads" | "all" (see fold_mode)
     remat: str = "none"  # "none" | "block" (save nothing) | "dots" (save matmuls)
     eps: float = EPS
 
@@ -282,7 +306,7 @@ class TimeDilatedConvNet(nn.Module):
     causal: bool = True
     nonlinear: Optional[str] = None
     norm: bool = True
-    fold_affine: bool = False
+    fold_affine: object = False  # bool | "none" | "heads" | "all" (see fold_mode)
     remat: str = "none"
     eps: float = EPS
 

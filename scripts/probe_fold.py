@@ -43,26 +43,29 @@ def main():
                       jnp.asarray(rng.standard_normal(a.shape).astype(np.float32))
                       if getattr(p[-1], "key", "") == "beta" else a),
         variables)
-    fmodel, fvars = fold_gln_affine(model, variables)
-
     to_bf16 = lambda tree: jax.tree_util.tree_map(
         lambda a: a.astype(jnp.bfloat16), tree)
-    v16, fv16 = to_bf16(variables), to_bf16(fvars)
-
-    # exactness on-chip in bf16 (folded weights vs unfolded affine)
-    y0 = model.apply(v16, xs[0])
-    y1 = fmodel.apply(fv16, xs[0])
-    err = float(jnp.max(jnp.abs(y1.astype(jnp.float32) - y0.astype(jnp.float32))))
-    print(f"bf16 fold max |delta|: {err:.3e} (mask-sigmoid output scale ~1e0)")
+    v16 = to_bf16(variables)
+    rtf = lambda ms: B * (T / sr) / (ms / 1e3)
 
     ms0 = amortized_ms(model.apply, v16, xs)
     mfu0 = model_mfu(model.apply, v16, xs[0], ms0)
-    ms1 = amortized_ms(fmodel.apply, fv16, xs)
-    mfu1 = model_mfu(fmodel.apply, fv16, xs[0], ms1)
-    rtf = lambda ms: B * (T / sr) / (ms / 1e3)
-    print(f"unfolded: {ms0:.2f} ms  RTF {rtf(ms0):.0f}  MFU {mfu0:.1%}")
-    print(f"folded:   {ms1:.2f} ms  RTF {rtf(ms1):.0f}  MFU {mfu1:.1%}")
-    print(f"speedup:  {ms0 / ms1:.3f}x")
+    print(f"unfolded:       {ms0:.2f} ms  RTF {rtf(ms0):.0f}  MFU {mfu0:.1%}",
+          flush=True)
+    y0 = model.apply(v16, xs[0])
+
+    for mode in ("heads", "all"):
+        fmodel, fvars = fold_gln_affine(model, variables, mode=mode)
+        fv16 = to_bf16(fvars)
+        # exactness on-chip in bf16 (folded weights vs unfolded affine)
+        y1 = fmodel.apply(fv16, xs[0])
+        err = float(jnp.max(jnp.abs(
+            y1.astype(jnp.float32) - y0.astype(jnp.float32))))
+        ms1 = amortized_ms(fmodel.apply, fv16, xs)
+        mfu1 = model_mfu(fmodel.apply, fv16, xs[0], ms1)
+        print(f"folded[{mode:5s}]: {ms1:.2f} ms  RTF {rtf(ms1):.0f}  "
+              f"MFU {mfu1:.1%}  speedup {ms0 / ms1:.3f}x  "
+              f"bf16 max|delta| {err:.2e}", flush=True)
 
 
 if __name__ == "__main__":

@@ -39,17 +39,18 @@ def _rand_variables(model, x, seed=0):
     return jax.tree_util.tree_map_with_path(scramble, variables)
 
 
-def test_folded_forward_matches_unfolded():
+@pytest.mark.parametrize("mode", ["heads", "all"])
+def test_folded_forward_matches_unfolded(mode):
     model = ConvTasNet(**CFG)
     # T short enough that dilation-8 padding spans a large fraction of the
-    # frames: the -beta/gamma padding fill is load-bearing here.
+    # frames: in 'all' mode the -beta/gamma padding fill is load-bearing.
     x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 1, 640)),
                     jnp.float32)
     variables = _rand_variables(model, x)
     y_ref = model.apply(variables, x)
 
-    folded_model, folded_vars = fold_gln_affine(model, variables)
-    assert folded_model.fold_norm_affine
+    folded_model, folded_vars = fold_gln_affine(model, variables, mode=mode)
+    assert folded_model.fold_norm_affine == mode
     y_fold = folded_model.apply(folded_vars, x)
 
     np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_ref),

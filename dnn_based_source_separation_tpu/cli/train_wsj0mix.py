@@ -101,6 +101,14 @@ def build_parser():
                    help="cache decoded waveforms in RAM after first use "
                         "(~4B x (1+n_src) x corpus samples; removes all "
                         "file IO from epochs 2+)")
+    p.add_argument("--device_resident_data", type=int, default=0,
+                   help="stage the ENTIRE training corpus in device HBM "
+                        "once and assemble batches on-chip (jitted window "
+                        "gather; data/device_cache.py). Removes the "
+                        "per-step host->device transfer and the host "
+                        "loader from the hot path. Single-device runs "
+                        "with corpora that fit HBM (wsj0-protocol: "
+                        "~0.5 GB/h)")
     p.add_argument("--n_devices", type=int, default=None, help="mesh data-parallel size")
     p.add_argument("--mixed_precision", type=int, default=0, help="bf16 compute, f32 master params")
     p.add_argument("--time_budget_min", type=float, default=None,
@@ -165,8 +173,19 @@ def main(args=None):
     print(f"Training dataset includes {len(train_ds)} samples.", flush=True)
     print(f"Valid dataset includes {len(valid_ds)} samples.", flush=True)
 
-    train_loader = DataLoader(train_ds, batch_size=args.batch_size, shuffle=True, seed=args.seed,
-                              num_workers=args.num_workers)
+    if args.device_resident_data and mesh is None:
+        from ..data.device_cache import DeviceResidentTrainLoader
+
+        train_loader = DeviceResidentTrainLoader(
+            train_ds, batch_size=args.batch_size, seed=args.seed)
+        print(f"Training data device-resident: "
+              f"{train_loader._mix.nbytes / 1e9:.2f} GB mixtures + "
+              f"{train_loader._srcs.nbytes / 1e9:.2f} GB sources in HBM.",
+              flush=True)
+    else:
+        train_loader = DataLoader(train_ds, batch_size=args.batch_size,
+                                  shuffle=True, seed=args.seed,
+                                  num_workers=args.num_workers)
     valid_loader = DataLoader(valid_ds, batch_size=1)
 
     if args.warmup_steps > 0:

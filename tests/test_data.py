@@ -331,3 +331,41 @@ def test_speaker_keys_formats():
         "011", "022", "440"]
     with pytest.raises(ValueError):
         speaker_keys("only-one-token", 2)
+
+
+def test_device_resident_loader_matches_host_loader(wsj0_corpus):
+    """DeviceResidentTrainLoader must emit exactly the host loader's window
+    set (same grid, same count, same contents) with batches on device."""
+    import jax
+
+    from dnn_based_source_separation_tpu.data.device_cache import (
+        DeviceResidentTrainLoader,
+    )
+
+    root, lst = wsj0_corpus
+    ds = WaveTrainDataset(root, lst, samples=2000)
+    host = DataLoader(ds, batch_size=2, shuffle=True, drop_last=True, seed=7)
+    dev = DeviceResidentTrainLoader(ds, batch_size=2, seed=7)
+    assert len(dev) == len(host)
+
+    def window_set(batches):
+        out = set()
+        for bm, bs in batches:
+            bm, bs = np.asarray(bm), np.asarray(bs)
+            assert bm.shape[1:] == (1, 2000) and bs.shape[1:] == (2, 2000)
+            np.testing.assert_allclose(bm[:, 0], bs.sum(1), atol=1e-3)
+            for j in range(bm.shape[0]):
+                out.add(bm[j].tobytes())
+        return out
+
+    dev_batches = list(dev)
+    assert all(isinstance(b[0], jax.Array) for b in dev_batches)
+    assert window_set(dev_batches) == window_set(host)
+
+    # Reshuffles per epoch, deterministic in the seed.
+    first = [np.asarray(b[0]) for b in dev]
+    second = [np.asarray(b[0]) for b in dev]
+    assert not all(np.array_equal(a, b) for a, b in zip(first, second))
+    dev2 = DeviceResidentTrainLoader(ds, batch_size=2, seed=7)
+    for a, b in zip(dev2, dev_batches):
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))

@@ -74,6 +74,10 @@ def train(args):
            "--batch_size", str(args.batch_size),
            "--epochs", str(args.epochs),
            "--mixed_precision", "1",
+           # Device-resident corpus (data/device_cache.py): 2.5x sustained
+           # throughput on this host and immune to the remote-tunnel
+           # per-transfer host-memory retention (BENCHMARKS.md).
+           "--device_resident_data", "1",
            "--cache_in_memory", "1",
            "--num_workers", "2",
            "--overwrite", "1" if not args.continue_from else "0",

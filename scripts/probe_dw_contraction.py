@@ -34,23 +34,44 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-ITERS = 50
+ITERS = 500
 # (rows K, C_in, C_out): bottleneck and head shapes at paper B=8 x 4 s.
 SHAPES = [(32000, 128, 512), (32000, 512, 128)]
 HBM_GBPS = 819.0  # v5e spec
 PEAK_TFLOPS = 197.0  # v5e bf16
 
 
+_FLOOR = None
+
+
+def harness_floor():
+    """Fixed per-blocking-call cost of this environment's tunnel."""
+    global _FLOOR
+    if _FLOOR is None:
+        trivial = jax.jit(lambda s: s * 1.0 + 1.0)
+        float(trivial(jnp.float32(0.0)))
+        import numpy as _np
+
+        ts = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            float(trivial(jnp.float32(0.0)))
+            ts.append(time.perf_counter() - t0)
+        _FLOOR = float(_np.median(ts))
+        print(f"[harness floor {_FLOOR * 1e3:.1f} ms/call]")
+    return _FLOOR
+
+
 def timed(fn, *args):
     out = fn(*args)
-    jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
+    sum(float(jnp.sum(a[..., 0, 0])) for a in jax.tree_util.tree_leaves(out))
     t0 = time.perf_counter()
     out = fn(*args)
     # scalar fetch as the barrier (block_until_ready is unreliable here)
     s = sum(float(jnp.sum(a[..., 0, 0])) for a in jax.tree_util.tree_leaves(out))
-    dt = time.perf_counter() - t0
+    dt = time.perf_counter() - t0 - harness_floor()
     del s
-    return dt
+    return max(dt, 0.0)
 
 
 def scan_variant(body, carry_shapes, xs_consts):
@@ -117,8 +138,16 @@ def main():
                             preferred_element_type=jnp.float32)
             return dw.astype(jnp.bfloat16), dx.astype(jnp.bfloat16)
 
+        def default(carry, x, dy):
+            # what autodiff emits for a bf16 Dense: bf16 operands, no
+            # explicit accumulation override (XLA picks f32 internally)
+            (acc,) = carry
+            xs = x + acc[0, 0]
+            return (jnp.einsum("tc,td->cd", xs, dy),)
+
         variants = [
-            ("baseline f32-accum", scan_variant(base, [(Cin, Cout)], (x, dy))),
+            ("autodiff-default bf16", scan_variant(default, [(Cin, Cout)], (x, dy))),
+            ("explicit f32-accum", scan_variant(base, [(Cin, Cout)], (x, dy))),
             ("bf16-accum", scan_variant(bf16accum, [(Cin, Cout)], (x, dy))),
             ("split-K8", scan_variant(splitk, [(Cin, Cout)], (x, dy))),
         ]
